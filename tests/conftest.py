@@ -1,0 +1,39 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh so sharding tests
+run without TPU hardware.  Must run before any jax import."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def load_yuv8(path, w, h, frame=0):
+    fsz = w * h * 3 // 2
+    raw = np.fromfile(path, dtype=np.uint8)[frame * fsz:(frame + 1) * fsz]
+    y = raw[:w * h].reshape(h, w).astype(np.int32)
+    u = raw[w * h:w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int32)
+    v = raw[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int32)
+    return y, u, v
+
+
+def load_rec10(path, w, h, frame=0):
+    fsz = w * h * 3 // 2
+    raw = np.fromfile(path, dtype='<u2')[frame * fsz:(frame + 1) * fsz]
+    y = raw[:w * h].reshape(h, w).astype(np.int32)
+    u = raw[w * h:w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int32)
+    v = raw[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int32)
+    return y, u, v
+
+
+@pytest.fixture
+def data_dir():
+    return DATA

@@ -1,0 +1,52 @@
+"""Encoder end-to-end: our bitstream must decode (with the conformance
+decoder) to exactly the encoder's own reconstruction, at sane quality."""
+import os
+
+import numpy as np
+
+from xeve_tpu.api import Encoder, psnr
+from xeve_tpu.params import EncoderParams
+from xeve_tpu.dec.decoder import BaselineIntraDecoder
+from tests.conftest import DATA, load_yuv8
+
+
+def test_encode_decode_roundtrip_s96():
+    w, h = 96, 80
+    y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96.yuv"), w, h, 0)
+    y, u, v = y8 << 2, u8 << 2, v8 << 2
+    enc = Encoder(EncoderParams(w=w, h=h, qp=27, keyint=1, use_pic_sign=True))
+    bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+    frames = BaselineIntraDecoder().decode(bs)
+    assert len(frames) == 1
+    f = frames[0]
+    assert np.array_equal(f.y, ry)
+    assert np.array_equal(f.u, ru)
+    assert np.array_equal(f.v, rv)
+    assert psnr(f.y, y) > 35.0
+
+
+def test_encode_qp_ladder_monotonic():
+    w, h = 96, 80
+    y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96.yuv"), w, h, 0)
+    y, u, v = y8 << 2, u8 << 2, v8 << 2
+    sizes, psnrs = [], []
+    for qp in (22, 32, 42):
+        enc = Encoder(EncoderParams(w=w, h=h, qp=qp, keyint=1))
+        bs, (ry, _, _) = enc.encode_frame(y, u, v)
+        sizes.append(len(bs))
+        psnrs.append(psnr(ry, y))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert psnrs[0] > psnrs[1] > psnrs[2]
+
+
+def test_no_deblock_and_no_rdoq_paths():
+    w, h = 96, 80
+    y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96.yuv"), w, h, 0)
+    y, u, v = y8 << 2, u8 << 2, v8 << 2
+    enc = Encoder(EncoderParams(w=w, h=h, qp=30, keyint=1,
+                                use_deblock=False, rdoq=False))
+    bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+    f = BaselineIntraDecoder().decode(bs)[0]
+    assert np.array_equal(f.y, ry)
+    assert np.array_equal(f.u, ru)
+    assert np.array_equal(f.v, rv)

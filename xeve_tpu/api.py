@@ -1,0 +1,143 @@
+"""Public encoder API: create/push/encode, mirroring the reference C API
+surface (inc/xeve.h xeve_create/xeve_push/xeve_encode) in idiomatic Python.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .params import EncoderParams
+from .constants import (NUT_IDR, NUT_NONIDR, NUT_SPS, NUT_PPS, NUT_SEI,
+                        SLICE_I, PROFILE_BASELINE, chroma_qp_dynamic)
+from .hls import SPS, PPS, SliceHeader, NalHeader, wrap_nal
+from .io.bits import BitWriter
+from .entropy.sbac import SbacEncoder, SbacCtx
+from .enc.analysis_np import analyze_frame
+from .enc.intra_frame import IntraFramePass
+
+CABAC_ZERO_PARAM = 32
+
+
+class Encoder:
+    """EVC Baseline encoder (all-intra path; inter under construction)."""
+
+    def __init__(self, params: EncoderParams):
+        self.p = params.validate()
+        self.pic_cnt = 0
+        self.sps = self._make_sps()
+        self.pps = self._make_pps()
+
+    # ------------------------------------------------------------------
+    def _make_sps(self) -> SPS:
+        p = self.p
+        return SPS(
+            profile_idc=p.profile,
+            level_idc=p.level_idc * 3,
+            pic_width_in_luma_samples=p.w,
+            pic_height_in_luma_samples=p.h,
+            bit_depth_luma_minus8=p.codec_bit_depth - 8,
+            bit_depth_chroma_minus8=p.codec_bit_depth - 8,
+            chroma_format_idc=1,
+            max_num_ref_pics=1,
+            log2_sub_gop_length=0,
+            log2_ref_pic_gap_length=0,
+        )
+
+    def _make_pps(self) -> PPS:
+        return PPS()
+
+    def _headers(self) -> bytes:
+        out = b""
+        bw = BitWriter()
+        NalHeader(NUT_SPS, 0).write(bw)
+        self.sps.write(bw)
+        out += wrap_nal(bw.get_bytes())
+        bw = BitWriter()
+        NalHeader(NUT_PPS, 0).write(bw)
+        self.pps.write(bw)
+        out += wrap_nal(bw.get_bytes())
+        return out
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Encode one frame (all-intra for now).  Inputs are 2-D arrays at
+        codec bit depth (use push_8bit for 8-bit input).  Returns
+        (bitstream_bytes, (rec_y, rec_u, rec_v))."""
+        p = self.p
+        nut = NUT_IDR if (self.pic_cnt == 0 or (p.closed_gop and p.keyint == 1)) else NUT_NONIDR
+
+        out = b""
+        if self.pic_cnt == 0 or (nut == NUT_IDR and self.pic_cnt > 0):
+            out += self._headers()
+
+        qp = p.qp
+        bd = p.codec_bit_depth
+        qp_y = qp + 6 * (bd - 8)
+        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
+        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
+        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+
+        analysis = analyze_frame(y.astype(np.int32), u.astype(np.int32),
+                                 v.astype(np.int32), qp, qp_y, qp_u, qp_v, bd)
+
+        sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                         qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
+                         deblocking_filter_on=1 if p.use_deblock else 0)
+        bw = BitWriter()
+        NalHeader(nut, 0).write(bw)
+        sh.write(bw, nut)
+        sh_bytes = bw.get_bytes()
+
+        sbac = SbacEncoder()
+        ctx = SbacCtx()
+        fp = IntraFramePass(p.w, p.h, bd, bd - 8, qp,
+                            p.qp_cb_offset, p.qp_cr_offset,
+                            use_rdoq=p.rdoq, use_deblock=p.use_deblock)
+        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
+        payload = sh_bytes + sbac.finish()
+        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        out += wrap_nal(payload)
+
+        if p.use_pic_sign:
+            out += self._signature_sei(rec_y, rec_u, rec_v)
+
+        self.pic_cnt += 1
+        return out, (rec_y, rec_u, rec_v)
+
+    def _cabac_zero_words(self, bin_count: int, num_bytes_in_units: int) -> bytes:
+        """xeve_enc.c:553-577 conformance stuffing."""
+        p = self.p
+        log2_sub_wh_c = 2
+        raw_bits = p.w * p.h * (p.codec_bit_depth +
+                                2 * (p.codec_bit_depth >> log2_sub_wh_c))
+        threshold = (CABAC_ZERO_PARAM // 3) * num_bytes_in_units + raw_bits // 32
+        if bin_count >= threshold:
+            target = ((bin_count - raw_bits // 32) * 3 + CABAC_ZERO_PARAM - 1) // CABAC_ZERO_PARAM
+            if target > num_bytes_in_units:
+                need = target - num_bytes_in_units
+                words = (need + 2) // 3
+                return b"\x00\x00" * words
+        return b""
+
+    def _signature_sei(self, rec_y, rec_u, rec_v) -> bytes:
+        """Picture-signature SEI (xeve_eco.c:292-322): MD5 per plane over
+        16-bit little-endian samples."""
+        bw = BitWriter()
+        NalHeader(NUT_SEI, 0).write(bw)
+        bw.write(0x10, 8)   # XEVE_UD_PIC_SIGNATURE
+        bw.write(16, 8)
+        for plane in (rec_y, rec_u, rec_v):
+            dig = hashlib.md5(plane.astype('<u2').tobytes()).digest()
+            for b in dig:
+                bw.write(b, 8)
+        return wrap_nal(bw.get_bytes())
+
+
+def psnr(a: np.ndarray, b: np.ndarray, bd: int = 10) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 99.0
+    peak = (1 << bd) - 1
+    return 10.0 * np.log10(peak * peak / mse)

@@ -302,105 +302,8 @@ class BaselineIntraDecoder:
 
     # -- deblocking ---------------------------------------------------------
     def _deblock(self):
-        """Vertical-edge pass then horizontal-edge pass over leaf CUs in
-        z-order (xeve_loop_filter / xeve_deblock / xeve_deblock_cu_*)."""
-        bd = self.bd
-        qp_u_off = self.sh.qp_u_offset
-        qp_v_off = self.sh.qp_v_offset
-        bdc8 = self.sps.bit_depth_chroma_minus8
-
-        def strength_idx(scu_a, scu_b):
-            # (y_scu, x_scu) pairs; all-intra: intra on either side -> 0
-            if self.map_if[scu_a] or self.map_if[scu_b]:
-                return 0
-            if self.map_cbf_l[scu_a] or self.map_cbf_l[scu_b]:
-                return 1
-            return 3  # inter w/o mv info not yet supported
-
-        y_plane, u_plane, v_plane = self.rec_y, self.rec_u, self.rec_v
-
-        def filt_ver(xe, ys, n_scu):
-            """vertical edge at column xe, rows ys..ys+4*n_scu"""
-            for i in range(n_scu):
-                yy = ys + i * 4
-                scu = (yy >> 2, xe >> 2)
-                scu_l = (yy >> 2, (xe >> 2) - 1)
-                idx = strength_idx(scu, scu_l)
-                qp = int(self.map_qp[scu])
-                st = rk.df_strength(qp, idx, bd)
-                if st:
-                    A = y_plane[yy:yy + 4, xe - 2]
-                    B = y_plane[yy:yy + 4, xe - 1]
-                    C = y_plane[yy:yy + 4, xe]
-                    D = y_plane[yy:yy + 4, xe + 1] if xe + 1 < self.w else y_plane[yy:yy + 4, xe]
-                    A2, B2, C2, D2 = rk.deblock_line_luma(A.astype(np.int64), B.astype(np.int64),
-                                                          C.astype(np.int64), D.astype(np.int64), st, bd)
-                    y_plane[yy:yy + 4, xe - 2] = A2
-                    y_plane[yy:yy + 4, xe - 1] = B2
-                    y_plane[yy:yy + 4, xe] = C2
-                    if xe + 1 < self.w:
-                        y_plane[yy:yy + 4, xe + 1] = D2
-                # chroma (2 rows at half res)
-                qp_ui = int(np.clip(qp + qp_u_off, -6 * bdc8, 57))
-                qp_vi = int(np.clip(qp + qp_v_off, -6 * bdc8, 57))
-                for plane, qpc in ((u_plane, chroma_qp_dynamic(qp_ui)),
-                                   (v_plane, chroma_qp_dynamic(qp_vi))):
-                    stc = rk.df_strength(qpc, idx, bd)
-                    if stc:
-                        xc = xe >> 1
-                        yyc = yy >> 1
-                        A = plane[yyc:yyc + 2, xc - 2]
-                        B = plane[yyc:yyc + 2, xc - 1]
-                        C = plane[yyc:yyc + 2, xc]
-                        D = plane[yyc:yyc + 2, xc + 1] if xc + 1 < plane.shape[1] else plane[yyc:yyc + 2, xc]
-                        _, B2, C2, _ = rk.deblock_line_chroma(A.astype(np.int64), B.astype(np.int64),
-                                                              C.astype(np.int64), D.astype(np.int64), stc, bd)
-                        plane[yyc:yyc + 2, xc - 1] = B2
-                        plane[yyc:yyc + 2, xc] = C2
-
-        def filt_hor(xs, ye, n_scu):
-            """horizontal edge at row ye, columns xs..xs+4*n_scu"""
-            for i in range(n_scu):
-                xx = xs + i * 4
-                scu = (ye >> 2, xx >> 2)
-                scu_u = ((ye >> 2) - 1, xx >> 2)
-                idx = strength_idx(scu, scu_u)
-                qp = int(self.map_qp[scu])
-                st = rk.df_strength(qp, idx, bd)
-                if st:
-                    A = y_plane[ye - 2, xx:xx + 4]
-                    B = y_plane[ye - 1, xx:xx + 4]
-                    C = y_plane[ye, xx:xx + 4]
-                    D = y_plane[ye + 1, xx:xx + 4] if ye + 1 < self.h else y_plane[ye, xx:xx + 4]
-                    A2, B2, C2, D2 = rk.deblock_line_luma(A.astype(np.int64), B.astype(np.int64),
-                                                          C.astype(np.int64), D.astype(np.int64), st, bd)
-                    y_plane[ye - 2, xx:xx + 4] = A2
-                    y_plane[ye - 1, xx:xx + 4] = B2
-                    y_plane[ye, xx:xx + 4] = C2
-                    if ye + 1 < self.h:
-                        y_plane[ye + 1, xx:xx + 4] = D2
-                qp_ui = int(np.clip(qp + qp_u_off, -6 * bdc8, 57))
-                qp_vi = int(np.clip(qp + qp_v_off, -6 * bdc8, 57))
-                for plane, qpc in ((u_plane, chroma_qp_dynamic(qp_ui)),
-                                   (v_plane, chroma_qp_dynamic(qp_vi))):
-                    stc = rk.df_strength(qpc, idx, bd)
-                    if stc:
-                        yc = ye >> 1
-                        xxc = xx >> 1
-                        A = plane[yc - 2, xxc:xxc + 2]
-                        B = plane[yc - 1, xxc:xxc + 2]
-                        C = plane[yc, xxc:xxc + 2]
-                        D = plane[yc + 1, xxc:xxc + 2] if yc + 1 < plane.shape[0] else plane[yc, xxc:xxc + 2]
-                        _, B2, C2, _ = rk.deblock_line_chroma(A.astype(np.int64), B.astype(np.int64),
-                                                              C.astype(np.int64), D.astype(np.int64), stc, bd)
-                        plane[yc - 1, xxc:xxc + 2] = B2
-                        plane[yc, xxc:xxc + 2] = C2
-
-        # pass 1: vertical edges (is_hor_edge == 0 first, xeve_enc.c:2363)
-        for (x, y, cuw, cuh) in self.leaf_cus:
-            if x > 0:
-                filt_ver(x, y, cuh >> 2)
-        # pass 2: horizontal edges
-        for (x, y, cuw, cuh) in self.leaf_cus:
-            if y > 0:
-                filt_hor(x, y, cuw >> 2)
+        from ..ops.deblock_np import deblock_frame
+        deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
+                      self.map_if, self.map_cbf_l, self.map_qp,
+                      self.sh.qp_u_offset, self.sh.qp_v_offset,
+                      self.bd, self.sps.bit_depth_chroma_minus8)
