@@ -18,15 +18,23 @@ from .enc.intra_frame import IntraFramePass
 
 CABAC_ZERO_PARAM = 32
 
+# engine selection:
+#   analysis: "jax" (TPU batched) | "numpy" (exact-integer oracle)
+#   coding pass: "native" (C library) | "numpy" (oracle)
+
 
 class Encoder:
     """EVC Baseline encoder (all-intra path; inter under construction)."""
 
-    def __init__(self, params: EncoderParams):
+    def __init__(self, params: EncoderParams, analysis: str = "numpy",
+                 coder: str = "native"):
         self.p = params.validate()
         self.pic_cnt = 0
         self.sps = self._make_sps()
         self.pps = self._make_pps()
+        self.analysis_engine = analysis
+        self.coder_engine = coder
+        self._batch_analyzer = None
 
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
@@ -79,8 +87,15 @@ class Encoder:
         qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
         qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
 
-        analysis = analyze_frame(y.astype(np.int32), u.astype(np.int32),
-                                 v.astype(np.int32), qp, qp_y, qp_u, qp_v, bd)
+        if self.analysis_engine == "jax":
+            from .enc.analysis_jax import analyze_frame_jax
+            analysis = analyze_frame_jax(y.astype(np.int16), u.astype(np.int16),
+                                         v.astype(np.int16), qp, qp_y, qp_u,
+                                         qp_v, bd)
+        else:
+            analysis = analyze_frame(y.astype(np.int32), u.astype(np.int32),
+                                     v.astype(np.int32), qp, qp_y, qp_u, qp_v,
+                                     bd)
 
         sh = SliceHeader(slice_type=SLICE_I, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
@@ -90,14 +105,25 @@ class Encoder:
         sh.write(bw, nut)
         sh_bytes = bw.get_bytes()
 
-        sbac = SbacEncoder()
-        ctx = SbacCtx()
-        fp = IntraFramePass(p.w, p.h, bd, bd - 8, qp,
-                            p.qp_cb_offset, p.qp_cr_offset,
-                            use_rdoq=p.rdoq, use_deblock=p.use_deblock)
-        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
-        payload = sh_bytes + sbac.finish()
-        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        if self.coder_engine == "native":
+            from .enc.intra_frame_native import encode_intra_frame_native
+            slice_payload, bin_count, rec_y, rec_u, rec_v = \
+                encode_intra_frame_native(p.w, p.h, bd, qp,
+                                          p.qp_cb_offset, p.qp_cr_offset,
+                                          y, u, v, analysis,
+                                          use_rdoq=p.rdoq,
+                                          use_deblock=p.use_deblock)
+        else:
+            sbac = SbacEncoder()
+            ctx = SbacCtx()
+            fp = IntraFramePass(p.w, p.h, bd, bd - 8, qp,
+                                p.qp_cb_offset, p.qp_cr_offset,
+                                use_rdoq=p.rdoq, use_deblock=p.use_deblock)
+            rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
+            slice_payload = sbac.finish()
+            bin_count = sbac.bin_counter
+        payload = sh_bytes + slice_payload
+        payload += self._cabac_zero_words(bin_count, len(payload))
         out += wrap_nal(payload)
 
         if p.use_pic_sign:
@@ -105,6 +131,61 @@ class Encoder:
 
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
+
+    def encode_frames(self, frames):
+        """Batch all-intra encode: analysis for the whole batch in one TPU
+        dispatch, then per-frame native coding.  frames: list of (y, u, v).
+        Returns list of (bitstream_bytes, (rec_y, rec_u, rec_v))."""
+        p = self.p
+        qp = p.qp
+        bd = p.codec_bit_depth
+        qp_y = qp + 6 * (bd - 8)
+        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
+        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
+        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+
+        if self.analysis_engine == "jax":
+            from .enc.analysis_jax import BatchAnalyzer
+            if self._batch_analyzer is None:
+                self._batch_analyzer = BatchAnalyzer(p.w, p.h, qp, qp_y,
+                                                     qp_u, qp_v, bd)
+            analyses = self._batch_analyzer.analyze(frames)
+        else:
+            analyses = [analyze_frame(np.asarray(y, dtype=np.int32),
+                                      np.asarray(u, dtype=np.int32),
+                                      np.asarray(v, dtype=np.int32),
+                                      qp, qp_y, qp_u, qp_v, bd)
+                        for (y, u, v) in frames]
+
+        from .enc.intra_frame_native import encode_intra_frame_native
+        out = []
+        for (y, u, v), an in zip(frames, analyses):
+            nut = NUT_IDR if self.pic_cnt == 0 else NUT_NONIDR
+            bs = b""
+            if self.pic_cnt == 0:
+                bs += self._headers()
+            sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                             qp_u_offset=p.qp_cb_offset,
+                             qp_v_offset=p.qp_cr_offset,
+                             deblocking_filter_on=1 if p.use_deblock else 0)
+            bw = BitWriter()
+            NalHeader(nut, 0).write(bw)
+            sh.write(bw, nut)
+            slice_payload, bin_count, rec_y, rec_u, rec_v = \
+                encode_intra_frame_native(p.w, p.h, bd, qp,
+                                          p.qp_cb_offset, p.qp_cr_offset,
+                                          y, u, v, an,
+                                          use_rdoq=p.rdoq,
+                                          use_deblock=p.use_deblock)
+            payload = bw.get_bytes() + slice_payload
+            payload += self._cabac_zero_words(bin_count, len(payload))
+            bs += wrap_nal(payload)
+            if p.use_pic_sign:
+                bs += self._signature_sei(rec_y, rec_u, rec_v)
+            self.pic_cnt += 1
+            out.append((bs, (rec_y, rec_u, rec_v)))
+        return out
 
     def _cabac_zero_words(self, bin_count: int, num_bytes_in_units: int) -> bytes:
         """xeve_enc.c:553-577 conformance stuffing."""

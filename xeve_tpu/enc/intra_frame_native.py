@@ -1,0 +1,69 @@
+"""Native (C) closed-loop intra frame pass — fast path of IntraFramePass.
+
+Bit-exact with the numpy IntraFramePass (asserted in tests): same SBAC,
+RDOQ, transforms, reconstruction and deblocking semantics.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native.build import get_lib, XtFrameCfg, XtStats
+from .analysis_np import AnalysisResult
+
+
+def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
+                              orig_y, orig_u, orig_v,
+                              analysis: AnalysisResult,
+                              use_rdoq=True, use_deblock=True):
+    """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v)."""
+    lib = get_lib()
+    cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
+                     1 if use_rdoq else 0, 1 if use_deblock else 0)
+    oy = np.ascontiguousarray(orig_y, dtype=np.int16)
+    ou = np.ascontiguousarray(orig_u, dtype=np.int16)
+    ov = np.ascontiguousarray(orig_v, dtype=np.int16)
+    rec_y = np.empty((h, w), dtype=np.uint16)
+    rec_u = np.empty((h // 2, w // 2), dtype=np.uint16)
+    rec_v = np.empty((h // 2, w // 2), dtype=np.uint16)
+    cap = w * h * 4 + 65536
+    out = np.empty(cap, dtype=np.uint8)
+    stats = XtStats()
+
+    def u8(arr):
+        a = np.ascontiguousarray(arr, dtype=np.uint8)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    keep = []
+    split_ptrs = []
+    mode_ptrs = []
+    for lg in range(2, 7):
+        if lg in analysis.split:
+            a, p = u8(analysis.split[lg].astype(np.uint8))
+        else:
+            a, p = u8(np.zeros_like(analysis.mode[lg], dtype=np.uint8))
+        keep.append(a)
+        split_ptrs.append(p)
+        a, p = u8(analysis.mode[lg].astype(np.uint8))
+        keep.append(a)
+        mode_ptrs.append(p)
+
+    ret = lib.xt_encode_intra_frame(
+        ctypes.byref(cfg),
+        oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ou.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        *split_ptrs, *mode_ptrs,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap),
+        rec_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rec_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rec_v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(stats))
+    if ret != 0:
+        raise RuntimeError("native intra pass: output buffer overflow")
+    payload = bytes(out[:stats.payload_bytes].tobytes())
+    return (payload, int(stats.bin_count),
+            rec_y.astype(np.int32), rec_u.astype(np.int32),
+            rec_v.astype(np.int32))

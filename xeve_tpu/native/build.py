@@ -1,0 +1,70 @@
+"""Build + load the native library (gcc -O3 shared object via ctypes)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libxevetpu.so")
+_SRC = os.path.join(_DIR, "xt_core.c")
+_TABLES = os.path.join(_DIR, "tables.h")
+
+_lib = None
+
+
+class XtFrameCfg(ctypes.Structure):
+    _fields_ = [("w", ctypes.c_int32), ("h", ctypes.c_int32),
+                ("bd", ctypes.c_int32), ("qp", ctypes.c_int32),
+                ("qp_u_off", ctypes.c_int32), ("qp_v_off", ctypes.c_int32),
+                ("use_rdoq", ctypes.c_int32), ("use_deblock", ctypes.c_int32)]
+
+
+class XtStats(ctypes.Structure):
+    _fields_ = [("payload_bytes", ctypes.c_int64),
+                ("bin_count", ctypes.c_int64),
+                ("n_leaf", ctypes.c_int32)]
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_t = os.path.getmtime(_SO)
+    for dep in (_SRC, _TABLES, __file__):
+        if os.path.exists(dep) and os.path.getmtime(dep) > so_t:
+            return True
+    return False
+
+
+def build():
+    if not os.path.exists(_TABLES) or \
+            os.path.getmtime(_TABLES) < os.path.getmtime(
+                os.path.join(_DIR, "gen_tables.py")):
+        subprocess.check_call(["python", os.path.join(_DIR, "gen_tables.py"),
+                               _TABLES])
+    subprocess.check_call(
+        ["gcc", "-O3", "-march=native", "-fPIC", "-shared", "-fvisibility=hidden",
+         "-o", _SO, _SRC, "-lm"])
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if _needs_build():
+        build()
+    lib = ctypes.CDLL(_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.xt_encode_intra_frame.restype = ctypes.c_int
+    lib.xt_encode_intra_frame.argtypes = [
+        ctypes.POINTER(XtFrameCfg), i16p, i16p, i16p,
+        u8p, u8p, u8p, u8p, u8p,      # split maps 2..6
+        u8p, u8p, u8p, u8p, u8p,      # mode maps 2..6
+        u8p, ctypes.c_int64,
+        u16p, u16p, u16p,
+        ctypes.POINTER(XtStats),
+    ]
+    _lib = lib
+    return lib
