@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..constants import (
-    MIN_CU_LOG2, MIN_CU_SIZE, MPM_TBL, SCAN, SLICE_I,
+    MIN_CU_LOG2, MIN_CU_SIZE, MPM_TBL, SCAN, SLICE_I, SLICE_P,
     NUT_IDR, NUT_NONIDR, NUT_SPS, NUT_PPS, NUT_SEI,
     IPD_CNT_B, chroma_qp_dynamic,
 )
@@ -28,6 +28,8 @@ from ..hls import SPS, PPS, SliceHeader, split_nals
 from ..io.bits import BitReader
 from ..entropy.sbac import SbacDecoder, SbacCtx
 from ..ops import reference_kernels as rk
+from ..ops import mc_np
+from ..ops import motion_np
 
 # rank -> ipm inverse of MPM table
 MPM_INV = np.zeros_like(MPM_TBL)
@@ -48,12 +50,16 @@ class DecodedFrame:
 
 
 class BaselineIntraDecoder:
-    """Decodes Baseline-profile streams (I slices; P/B to come with inter)."""
+    """Decodes Baseline-profile streams (I and low-delay P slices)."""
 
     def __init__(self):
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[DecodedFrame] = []
+        self.dpb: list[dict] = []      # ref pics: poc desc order maintained
+        self.poc = 0
+        self.last_intra_poc = -(10 ** 9)
+        self.pad_l = 64 + 16           # PIC_PAD_SIZE_L
 
     # -- top level ----------------------------------------------------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -87,8 +93,28 @@ class BaselineIntraDecoder:
     def _decode_slice(self, payload: bytes, nut: int):
         br = BitReader(payload)
         sh = SliceHeader.parse(br, nut)
-        assert sh.slice_type == SLICE_I, "inter decoding lands with inter coding"
+        assert sh.slice_type in (SLICE_I, SLICE_P), "B slices not yet supported"
         assert br.is_byte_aligned()
+        if nut == NUT_IDR:
+            self.poc = 0
+            self.dpb.clear()
+        if sh.slice_type == SLICE_I:
+            self.last_intra_poc = self.poc
+        # reference list L0 (xeve_picman_refp_init, P path, layer 0)
+        self.refp = []
+        if sh.slice_type == SLICE_P:
+            num_active = sh.num_ref_idx_active[0] if \
+                sh.num_ref_idx_active_override_flag else \
+                (self.pps.num_ref_idx_default_active_minus1[0] + 1)
+            max_refs = min(self.sps.max_num_ref_pics, num_active) if \
+                self.sps.max_num_ref_pics else num_active
+            for pic in self.dpb:   # poc descending
+                if len(self.refp) >= max_refs:
+                    break
+                if self.poc >= self.last_intra_poc and pic["poc"] < self.last_intra_poc:
+                    continue
+                if pic["poc"] < self.poc:
+                    self.refp.append(pic)
         sbac = SbacDecoder(payload, br.byte_pos)
         ctx = SbacCtx()
 
@@ -104,6 +130,8 @@ class BaselineIntraDecoder:
         self.map_ipm = np.full((self.h_scu, self.w_scu), -1, dtype=np.int32)
         self.map_qp = np.full((self.h_scu, self.w_scu), sh.qp, dtype=np.int32)
         self.map_cbf_l = np.zeros((self.h_scu, self.w_scu), dtype=bool)
+        self.map_mv = np.zeros((self.h_scu, self.w_scu, 2, 2), dtype=np.int32)
+        self.map_refi = np.full((self.h_scu, self.w_scu, 2), -1, dtype=np.int32)
         self.leaf_cus: list[tuple[int, int, int, int]] = []  # z-order (x,y,w,h)
 
         self.sh = sh
@@ -126,7 +154,21 @@ class BaselineIntraDecoder:
 
         self.frames.append(DecodedFrame(
             self.rec_y.copy(), self.rec_u.copy(), self.rec_v.copy(),
-            poc=len(self.frames), slice_type=sh.slice_type, qp=sh.qp))
+            poc=self.poc, slice_type=sh.slice_type, qp=sh.qp))
+
+        # DPB update (pic_marking + sliding window; xeve_picman.c:57-97)
+        pic = {
+            "poc": self.poc,
+            "y_pad": mc_np.pad_picture(self.rec_y, self.pad_l),
+            "u_pad": mc_np.pad_picture(self.rec_u, self.pad_l // 2),
+            "v_pad": mc_np.pad_picture(self.rec_v, self.pad_l // 2),
+            "map_mv": self.map_mv.copy(),
+        }
+        self.dpb.append(pic)
+        self.dpb.sort(key=lambda p: -p["poc"])
+        while len(self.dpb) > 5:   # XEVE_MAX_NUM_ACTIVE_REF_FRAME sliding win
+            self.dpb.pop()         # oldest poc (list is poc-desc)
+        self.poc += 1
 
     # -- CTU tree -----------------------------------------------------------
     def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh):
@@ -179,18 +221,72 @@ class BaselineIntraDecoder:
                 break
         return coef.reshape(h, w)
 
+    def _mvp_list(self, x_scu, y_scu, scuw, scuh, lidx):
+        avail = motion_np.get_avail_inter(x_scu, y_scu, self.w_scu, self.h_scu,
+                                          scuw, scuh, self.map_cod, self.map_if)
+        ref0_map = self.refp[0]["map_mv"] if self.refp else None
+        return motion_np.get_motion(x_scu, y_scu, scuw, lidx, avail,
+                                    self.map_mv, ref0_map, self.w_scu)
+
     def _decode_cu(self, sbac: SbacDecoder, ctx: SbacCtx, x, y, cuw, cuh):
         x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
-        # intra dir from MPM ranking
-        rank = sbac.read_unary_sym(ctx.intra_dir, 0, 2)
-        ipm = int(self._get_mpm_inv(x_scu, y_scu)[rank])
+        scuw, scuh = cuw >> MIN_CU_LOG2, cuh >> MIN_CU_LOG2
+        slice_type = self.sh.slice_type
 
-        # cbf (intra branch of xeve_eco_cbf, xeve_eco.c:866-891)
-        cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
-        cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
-        cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+        skip = 0
+        mode_intra = True
+        refi0 = -1
+        mv0 = (0, 0)
+        mvp_idx = 0
+        if slice_type != SLICE_I:
+            skip = sbac.decode_bin(ctx.skip_flag, 0)  # ctx 0 (cm_init off)
+            if skip:
+                mvp_idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
+                refi0 = 0
+                mv0 = (int(mvp[mvp_idx][0]), int(mvp[mvp_idx][1]))
+                mode_intra = False
+            else:
+                pred_intra = sbac.decode_bin(ctx.pred_mode, 0)
+                mode_intra = bool(pred_intra)
+                if not mode_intra:
+                    # P slice: no direct flag, no inter_pred_idc
+                    num_refp = len(self.refp)
+                    refi0 = 0
+                    if num_refp > 1:
+                        refi0 = self._decode_refi(sbac, ctx, num_refp)
+                    mvp_idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                    mvd = self._decode_mvd(sbac, ctx)
+                    mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
+                    mv0 = (int(mvp[mvp_idx][0] + mvd[0]),
+                           int(mvp[mvp_idx][1] + mvd[1]))
 
-        if self.pps.cu_qp_delta_enabled_flag and (cbf_y or cbf_u or cbf_v):
+        ipm = 0
+        if mode_intra:
+            rank = sbac.read_unary_sym(ctx.intra_dir, 0, 2)
+            ipm = int(self._get_mpm_inv(x_scu, y_scu)[rank])
+
+        if skip:
+            cbf_y = cbf_u = cbf_v = 0
+        elif mode_intra:
+            # cbf (intra branch of xeve_eco_cbf, xeve_eco.c:866-891)
+            cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+            cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+            cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+        else:
+            # inter branch: cbf_all then per-component (xeve_eco.c:813-864)
+            cbf_all = sbac.decode_bin(ctx.cbf_all, 0)
+            if cbf_all == 0:
+                cbf_y = cbf_u = cbf_v = 0
+            else:
+                cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+                cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+                if cbf_u + cbf_v != 0:
+                    cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+                else:
+                    cbf_y = 1   # inferred
+
+        if (not skip) and self.pps.cu_qp_delta_enabled_flag and (cbf_y or cbf_u or cbf_v):
             abs_dqp = sbac.read_unary_sym(ctx.delta_qp, 0, 1)
             if abs_dqp > 0:
                 sign = sbac.decode_bin_ep()
@@ -217,18 +313,85 @@ class BaselineIntraDecoder:
             coef_v = self._decode_coef_block(sbac, ctx, cuw >> 1, cuh >> 1, 1)
 
         # reconstruct
-        self._recon_intra_cu(x, y, cuw, cuh, ipm, qp_y, qp_u, qp_v,
-                             coef_y, coef_u, coef_v)
+        if mode_intra:
+            self._recon_intra_cu(x, y, cuw, cuh, ipm, qp_y, qp_u, qp_v,
+                                 coef_y, coef_u, coef_v)
+        else:
+            self._recon_inter_cu(x, y, cuw, cuh, refi0, mv0, qp_y, qp_u, qp_v,
+                                 coef_y, coef_u, coef_v)
 
         # update maps
         ys, xs = y_scu, x_scu
         hs, ws = cuh >> MIN_CU_LOG2, cuw >> MIN_CU_LOG2
         self.map_cod[ys:ys + hs, xs:xs + ws] = True
-        self.map_if[ys:ys + hs, xs:xs + ws] = True
-        self.map_ipm[ys:ys + hs, xs:xs + ws] = ipm
+        self.map_if[ys:ys + hs, xs:xs + ws] = mode_intra
+        self.map_ipm[ys:ys + hs, xs:xs + ws] = ipm if mode_intra else 0
         self.map_qp[ys:ys + hs, xs:xs + ws] = qp
         self.map_cbf_l[ys:ys + hs, xs:xs + ws] = bool(cbf_y)
+        if not mode_intra:
+            self.map_refi[ys:ys + hs, xs:xs + ws, 0] = refi0
+            self.map_refi[ys:ys + hs, xs:xs + ws, 1] = -1
+            self.map_mv[ys:ys + hs, xs:xs + ws, 0, 0] = mv0[0]
+            self.map_mv[ys:ys + hs, xs:xs + ws, 0, 1] = mv0[1]
         self.leaf_cus.append((x, y, cuw, cuh))
+
+    def _decode_refi(self, sbac, ctx, num_refp):
+        """xeve_eco_refi inverse."""
+        if sbac.decode_bin(ctx.refi, 0) == 0:
+            return 0
+        if num_refp == 2:
+            return 1
+        for i in range(2, num_refp):
+            b = sbac.decode_bin(ctx.refi, 1) if i == 2 else sbac.decode_bin_ep()
+            if b == 0:
+                return i - 1
+        return num_refp - 1
+
+    def _decode_mvd(self, sbac, ctx):
+        """xeve_eco_mvd inverse (xeve_eco.c:1205-1279)."""
+        out = []
+        for _ in range(2):
+            # exp-golomb-ish: first two bins context coded, rest EP
+            bins = []
+            # read code of form: len_i zeros? encoder writes code MSB->LSB of
+            # (1<<len_i)|info with length 2*len_i+1, first 2 bins ctx coded
+            # decode: count leading zeros until a 1
+            n_lead = 0
+            while True:
+                b = sbac.decode_bin(ctx.mvd, 0) if n_lead < 2 else sbac.decode_bin_ep()
+                if b == 1:
+                    break
+                n_lead += 1
+            info = 0
+            for k in range(n_lead):
+                pos = n_lead + 1 + k
+                b = sbac.decode_bin(ctx.mvd, 0) if pos < 2 else sbac.decode_bin_ep()
+                info = (info << 1) | b
+            val = (1 << n_lead) + info - 1
+            if val:
+                sign = sbac.decode_bin_ep()
+                val = -val if sign else val
+            out.append(val)
+        return out
+
+    def _recon_inter_cu(self, x, y, cuw, cuh, refi0, mv0, qp_y, qp_u, qp_v,
+                        coef_y, coef_u, coef_v):
+        bd = self.bd
+        ref = self.refp[refi0]
+        pred_y, pred_u, pred_v = mc_np.mc_cu(
+            x, y, cuw, cuh, mv0, ref["y_pad"], ref["u_pad"], ref["v_pad"],
+            self.pad_l, self.pad_l // 2, self.w, self.h, bd)
+        resi = None
+        if coef_y is not None:
+            resi = rk.inverse_dct2(rk.dequant(coef_y, qp_y, bd), bd)
+        self.rec_y[y:y + cuh, x:x + cuw] = rk.recon_block(pred_y, resi, bd)
+        xc, yc, wc, hc = x >> 1, y >> 1, cuw >> 1, cuh >> 1
+        for plane, pred, coef, qpc in ((self.rec_u, pred_u, coef_u, qp_u),
+                                       (self.rec_v, pred_v, coef_v, qp_v)):
+            resi = None
+            if coef is not None:
+                resi = rk.inverse_dct2(rk.dequant(coef, qpc, bd), bd)
+            plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- intra reconstruction ----------------------------------------------
     def _avail_rows(self, x_scu, y_scu, n_units, step_scu):
@@ -306,4 +469,5 @@ class BaselineIntraDecoder:
         deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
                       self.map_if, self.map_cbf_l, self.map_qp,
                       self.sh.qp_u_offset, self.sh.qp_v_offset,
-                      self.bd, self.sps.bit_depth_chroma_minus8)
+                      self.bd, self.sps.bit_depth_chroma_minus8,
+                      map_refi=self.map_refi, map_mv=self.map_mv)

@@ -17,8 +17,11 @@ from ..constants import chroma_qp_dynamic
 def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                   leaf_cus, map_if: np.ndarray, map_cbf_l: np.ndarray,
                   map_qp: np.ndarray, qp_u_off: int, qp_v_off: int,
-                  bit_depth: int, bd_chroma_minus8: int):
-    """In-place deblock of the three planes. leaf_cus: z-order (x,y,w,h)."""
+                  bit_depth: int, bd_chroma_minus8: int,
+                  map_refi=None, map_mv=None):
+    """In-place deblock of the three planes. leaf_cus: z-order (x,y,w,h).
+    map_refi/map_mv enable the inter strength rules (get_tbl_qp_to_st,
+    xeve_df.c:34-87)."""
     bd = bit_depth
 
     def strength_idx(a, b):
@@ -26,7 +29,30 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
             return 0
         if map_cbf_l[a] or map_cbf_l[b]:
             return 1
-        return 3  # inter MV-based strengths plug in with inter coding
+        if map_refi is None:
+            return 3
+        r0, r1 = map_refi[a], map_refi[b]
+        m0 = [list(map_mv[a][0]), list(map_mv[a][1])]
+        m1 = [list(map_mv[b][0]), list(map_mv[b][1])]
+        if r0[0] < 0:
+            m0[0] = [0, 0]
+        if r0[1] < 0:
+            m0[1] = [0, 0]
+        if r1[0] < 0:
+            m1[0] = [0, 0]
+        if r1[1] < 0:
+            m1[1] = [0, 0]
+        if r0[0] == r1[0] and r0[1] == r1[1]:
+            return 2 if (abs(m0[0][0] - m1[0][0]) >= 4 or
+                         abs(m0[0][1] - m1[0][1]) >= 4 or
+                         abs(m0[1][0] - m1[1][0]) >= 4 or
+                         abs(m0[1][1] - m1[1][1]) >= 4) else 3
+        if r0[0] == r1[1] and r0[1] == r1[0]:
+            return 2 if (abs(m0[0][0] - m1[1][0]) >= 4 or
+                         abs(m0[0][1] - m1[1][1]) >= 4 or
+                         abs(m0[1][0] - m1[0][0]) >= 4 or
+                         abs(m0[1][1] - m1[0][1]) >= 4) else 3
+        return 2
 
     def filt_ver(xe, ys, n_scu):
         for i in range(n_scu):
