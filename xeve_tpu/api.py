@@ -15,6 +15,9 @@ from .io.bits import BitWriter
 from .entropy.sbac import SbacEncoder, SbacCtx
 from .enc.analysis_np import analyze_frame
 from .enc.intra_frame import IntraFramePass
+from .enc.frame_pass import FramePass, PAD_L
+from .constants import QP_ADAPT_LD, SLICE_P
+from .ops import mc_np
 
 CABAC_ZERO_PARAM = 32
 
@@ -35,6 +38,8 @@ class Encoder:
         self.analysis_engine = analysis
         self.coder_engine = coder
         self._batch_analyzer = None
+        self.dpb = []          # poc-descending ref list (padded recon + mv map)
+        self.poc = 0
 
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
@@ -68,18 +73,42 @@ class Encoder:
         return out
 
     # ------------------------------------------------------------------
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        """Encode one frame (all-intra for now).  Inputs are 2-D arrays at
-        codec bit depth (use push_8bit for 8-bit input).  Returns
-        (bitstream_bytes, (rec_y, rec_u, rec_v))."""
+    def _slice_type_for(self, pic_cnt: int) -> int:
         p = self.p
+        if p.keyint == 1 or pic_cnt == 0:
+            return SLICE_I
+        if p.keyint > 1 and pic_cnt % p.keyint == 0:
+            return SLICE_I
+        return SLICE_P
+
+    def _slice_qp(self, slice_type: int) -> int:
+        """Low-delay hierarchical QP offsets (xeve_set_sh, xeve_enc.c:1496;
+        xeve_qp_adapt_param_ld with ref gap 1 -> depth 0 for I, 2 for P)."""
+        p = self.p
+        if p.keyint == 1:
+            return p.qp
+        depth = 0 if slice_type == SLICE_I else 2
+        off_layer, off_model, scale_model = QP_ADAPT_LD[depth]
+        qp = p.qp + off_layer
+        dqp = qp * scale_model + off_model + 0.5
+        qp += int(np.floor(np.clip(dqp, 0.0, 3.0)))
+        return int(np.clip(qp, 0, 51))
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Encode one frame (I or low-delay P per keyint).  Inputs are 2-D
+        arrays at codec bit depth.  Returns (bitstream_bytes,
+        (rec_y, rec_u, rec_v))."""
+        p = self.p
+        slice_type = self._slice_type_for(self.pic_cnt)
+        if slice_type == SLICE_P:
+            return self._encode_frame_p(y, u, v)
         nut = NUT_IDR if (self.pic_cnt == 0 or (p.closed_gop and p.keyint == 1)) else NUT_NONIDR
 
         out = b""
         if self.pic_cnt == 0 or (nut == NUT_IDR and self.pic_cnt > 0):
             out += self._headers()
 
-        qp = p.qp
+        qp = self._slice_qp(slice_type)
         bd = p.codec_bit_depth
         qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
@@ -129,6 +158,63 @@ class Encoder:
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
 
+        self._dpb_push(rec_y, rec_u, rec_v, None)
+        self.pic_cnt += 1
+        return out, (rec_y, rec_u, rec_v)
+
+    def _dpb_push(self, rec_y, rec_u, rec_v, map_mv):
+        h_scu = (self.p.h + 3) >> 2
+        w_scu = (self.p.w + 3) >> 2
+        if map_mv is None:
+            map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int32)
+        self.dpb.append({
+            "poc": self.poc,
+            "y_pad": mc_np.pad_picture(np.asarray(rec_y, np.int32), PAD_L),
+            "u_pad": mc_np.pad_picture(np.asarray(rec_u, np.int32), PAD_L // 2),
+            "v_pad": mc_np.pad_picture(np.asarray(rec_v, np.int32), PAD_L // 2),
+            "map_mv": map_mv,
+        })
+        self.dpb.sort(key=lambda q: -q["poc"])
+        while len(self.dpb) > 5:
+            self.dpb.pop()
+        self.poc += 1
+
+    def _encode_frame_p(self, y, u, v):
+        from .enc.analysis_inter_np import analyze_frame_inter
+        from .entropy.sbac import SbacEncoder, SbacCtx
+        p = self.p
+        bd = p.codec_bit_depth
+        qp = self._slice_qp(SLICE_P)
+        qp_y = qp + 6 * (bd - 8)
+        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
+        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
+        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        refp = self.dpb[:1]
+        an = analyze_frame_inter(np.asarray(y, np.int32), np.asarray(u, np.int32),
+                                 np.asarray(v, np.int32), refp, qp, qp_y,
+                                 qp_u, qp_v, bd,
+                                 search_range=min(16, max(8, p.w // 24)))
+        sh = SliceHeader(slice_type=SLICE_P, qp=qp,
+                         qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
+                         deblocking_filter_on=1 if p.use_deblock else 0)
+        bw = BitWriter()
+        NalHeader(NUT_NONIDR, 0).write(bw)
+        sh.write(bw, NUT_NONIDR)
+        sbac = SbacEncoder()
+        ctx = SbacCtx()
+        fp = FramePass(p.w, p.h, bd, bd - 8, qp, p.qp_cb_offset,
+                       p.qp_cr_offset, slice_type=SLICE_P, refp=refp,
+                       use_rdoq=p.rdoq, use_deblock=p.use_deblock)
+        rec_y, rec_u, rec_v, _ = fp.encode(np.asarray(y, np.int32),
+                                           np.asarray(u, np.int32),
+                                           np.asarray(v, np.int32), an, sbac, ctx)
+        payload = bw.get_bytes() + sbac.finish()
+        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        out = wrap_nal(payload)
+        if p.use_pic_sign:
+            out += self._signature_sei(rec_y, rec_u, rec_v)
+        self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv)
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
 
