@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""xeve_tpu_app: CLI encoder mirroring the reference xeve_app surface
+(app/xeve_app.c) for the TPU-native framework.
+
+Examples:
+  python xeve_tpu_app.py -i in.yuv -w 352 -h 288 -q 32 --keyint 1 -o out.evc
+  python xeve_tpu_app.py -i in.y4m -q 30 --keyint 0 -o out.evc -r recon.yuv
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description="TPU-native MPEG-5 EVC encoder")
+    ap.add_argument("-i", "--input", required=True, help="raw YUV or .y4m")
+    ap.add_argument("-o", "--output", help="output bitstream (.evc)")
+    ap.add_argument("-r", "--recon", help="recon dump (10-bit LE yuv)")
+    ap.add_argument("-w", "--width", type=int, default=0)
+    ap.add_argument("-h2", "--height", type=int, default=0)
+    ap.add_argument("-q", "--qp", type=int, default=32)
+    ap.add_argument("-d", "--input-depth", type=int, default=8, choices=(8, 10))
+    ap.add_argument("-I", "--keyint", type=int, default=0,
+                    help="0: first frame I only; 1: all-intra; N: I every N")
+    ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    ap.add_argument("--profile", default="baseline", choices=("baseline",))
+    ap.add_argument("--no-deblock", action="store_true")
+    ap.add_argument("--no-rdoq", action="store_true")
+    ap.add_argument("--hash", action="store_true",
+                    help="embed picture-signature SEI")
+    ap.add_argument("--analysis", default="auto",
+                    choices=("auto", "jax", "numpy"))
+    ap.add_argument("--coder", default="native", choices=("native", "numpy"))
+    ap.add_argument("-v", "--verbose", type=int, default=2)
+    args = ap.parse_args()
+
+    from xeve_tpu.io.video import open_video, write_recon_frame
+    from xeve_tpu.api import Encoder, psnr
+    from xeve_tpu.params import EncoderParams
+
+    reader = open_video(args.input, args.width, args.height, args.input_depth)
+    w, h = getattr(reader, "w", args.width), getattr(reader, "h", args.height)
+
+    analysis = args.analysis
+    if analysis == "auto":
+        try:
+            import jax
+            analysis = "jax" if jax.devices()[0].platform != "cpu" else "numpy"
+        except Exception:
+            analysis = "numpy"
+
+    enc = Encoder(EncoderParams(
+        w=w, h=h, qp=args.qp, keyint=args.keyint,
+        use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
+        use_pic_sign=args.hash), analysis=analysis, coder=args.coder)
+
+    fo = open(args.output, "wb") if args.output else None
+    fr = open(args.recon, "wb") if args.recon else None
+
+    n = 0
+    total_bytes = 0
+    psnrs = []
+    t0 = time.time()
+    while True:
+        fr_data = reader.read_frame()
+        if fr_data is None or (args.frames and n >= args.frames):
+            break
+        y, u, v = fr_data
+        bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+        total_bytes += len(bs)
+        if fo:
+            fo.write(bs)
+        if fr:
+            write_recon_frame(fr, ry, ru, rv)
+        p = psnr(ry, y)
+        psnrs.append(p)
+        if args.verbose >= 3:
+            print(f"frame {n}: {len(bs)} bytes  PSNR-Y {p:.2f}")
+        n += 1
+    dt = time.time() - t0
+    if fo:
+        fo.close()
+    if fr:
+        fr.close()
+    reader.close()
+    if args.verbose >= 2 and n:
+        print("=== Summary " + "=" * 40)
+        print(f"Frames              : {n}")
+        print(f"Bitrate @30fps      : {total_bytes * 8 * 30 / n / 1000:.2f} kbps")
+        print(f"Avg PSNR-Y          : {np.mean(psnrs):.3f} dB")
+        print(f"Encoding speed      : {n / dt:.3f} frames/s")
+
+
+if __name__ == "__main__":
+    main()
