@@ -45,3 +45,37 @@ def test_decode_reference_ldp_bitstream(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} frame {i} luma mismatch"
         assert np.array_equal(f.u, gu), f"{name} frame {i} cb mismatch"
         assert np.array_equal(f.v, gv), f"{name} frame {i} cr mismatch"
+
+
+B_CASES = [
+    ("s96_ldp_q30", 96, 80, 2),   # low-delay B (xeve default)
+    ("s96_ldp6", 96, 80, 6),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", B_CASES)
+def test_decode_reference_ldb_bitstream(name, w, h, n):
+    """Low-delay B streams: bi-prediction, temporal-direct, L0/L1 lists."""
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} frame {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)
+
+
+def test_decode_reference_ra_gop16_bitstream():
+    """Random-access GOP16 hierarchical-B: POC derivation from temporal ids,
+    tid-constrained L0/L1 lists, DPB marking; recon compared in display
+    order (the reference app dumps recon in output order)."""
+    stream = open(os.path.join(DATA, "s96_ra.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == 20
+    frames_disp = sorted(frames, key=lambda f: f.poc)
+    for i, f in enumerate(frames_disp):
+        gy, gu, gv = load_rec10(os.path.join(DATA, "s96_ra_rec.yuv"), 96, 80, i)
+        assert np.array_equal(f.y, gy), f"display {i} (poc {f.poc}) luma"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

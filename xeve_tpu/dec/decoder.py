@@ -70,7 +70,8 @@ class BaselineIntraDecoder:
             elif hdr.nal_unit_type == NUT_PPS:
                 self.pps = PPS.parse(BitReader(payload))
             elif hdr.nal_unit_type in (NUT_IDR, NUT_NONIDR):
-                self._decode_slice(payload, hdr.nal_unit_type)
+                self._decode_slice(payload, hdr.nal_unit_type,
+                                   hdr.nuh_temporal_id)
             elif hdr.nal_unit_type == NUT_SEI:
                 pass
             else:
@@ -90,31 +91,90 @@ class BaselineIntraDecoder:
         self.h_scu = (self.h + MIN_CU_SIZE - 1) >> MIN_CU_LOG2
 
     # -- slice decode -------------------------------------------------------
-    def _decode_slice(self, payload: bytes, nut: int):
-        br = BitReader(payload)
-        sh = SliceHeader.parse(br, nut)
-        assert sh.slice_type in (SLICE_I, SLICE_P), "B slices not yet supported"
-        assert br.is_byte_aligned()
+    def _derive_poc(self, nut: int, tid: int):
+        """xeve_poc_derivation (xeve_util.c:250-281) from decode order +
+        temporal id; LD (sub_gop 1) degenerates to poc += 1."""
         if nut == NUT_IDR:
             self.poc = 0
+            self.prev_poc_val = 0
+            self.prev_doc_offset = 0
+            return
+        sub_gop = 1 << self.sps.log2_sub_gop_length
+        if sub_gop <= 1:
+            self.poc += 1
+            return
+        if tid == 0:
+            self.poc = self.prev_poc_val + sub_gop
+            self.prev_doc_offset = 0
+            self.prev_poc_val = self.poc
+            return
+        doc_offset = (self.prev_doc_offset + 1) % sub_gop
+        if doc_offset == 0:
+            self.prev_poc_val += sub_gop
+            expected_tid = 0
+        else:
+            expected_tid = 1 + int(np.log2(doc_offset))
+        while tid != expected_tid:
+            doc_offset = (doc_offset + 1) % sub_gop
+            if doc_offset == 0:
+                expected_tid = 0
+            else:
+                expected_tid = 1 + int(np.log2(doc_offset))
+        poc_offset = int(sub_gop * ((2.0 * doc_offset + 1) / (1 << tid) - 2))
+        self.poc = self.prev_poc_val + poc_offset
+        self.prev_doc_offset = doc_offset
+
+    def _decode_slice(self, payload: bytes, nut: int, tid: int = 0):
+        br = BitReader(payload)
+        sh = SliceHeader.parse(br, nut)
+        # I, P and B (low-delay / random-access) slices supported
+        assert br.is_byte_aligned()
+        self.tid = tid
+        self._derive_poc(nut, tid)
+        if nut == NUT_IDR:
             self.dpb.clear()
         if sh.slice_type == SLICE_I:
             self.last_intra_poc = self.poc
-        # reference list L0 (xeve_picman_refp_init, P path, layer 0)
+        # reference lists (xeve_picman_refp_init, layer 0)
         self.refp = []
-        if sh.slice_type == SLICE_P:
-            num_active = sh.num_ref_idx_active[0] if \
-                sh.num_ref_idx_active_override_flag else \
-                (self.pps.num_ref_idx_default_active_minus1[0] + 1)
-            max_refs = min(self.sps.max_num_ref_pics, num_active) if \
-                self.sps.max_num_ref_pics else num_active
-            for pic in self.dpb:   # poc descending
-                if len(self.refp) >= max_refs:
-                    break
-                if self.poc >= self.last_intra_poc and pic["poc"] < self.last_intra_poc:
-                    continue
-                if pic["poc"] < self.poc:
-                    self.refp.append(pic)
+        self.refp1 = []
+        max_refs = self.sps.max_num_ref_pics or 21
+        if sh.slice_type != SLICE_I:
+            marked = [p for p in self.dpb if p.get("ref", True)]
+            usable = [p for p in marked
+                      if not (self.poc >= self.last_intra_poc and
+                              p["poc"] < self.last_intra_poc)]
+            usable.sort(key=lambda p: -p["poc"])
+            past = [p for p in usable if p["poc"] < self.poc]      # poc desc
+            future = sorted([p for p in usable if p["poc"] > self.poc],
+                            key=lambda p: p["poc"])                # poc asc
+
+            tid = self.tid
+
+            def build(first, second, constrain_first=True):
+                out = []
+                next_lid = max(tid - 1, 0)
+                for p in first:
+                    if len(out) >= max_refs:
+                        break
+                    if not constrain_first or p["tid"] <= next_lid:
+                        out.append(p)
+                        next_lid = max(p["tid"] - 1, 0)
+                next_lid = max(tid - 1, 0)
+                for p in second:
+                    if len(out) >= max_refs:
+                        break
+                    if p["tid"] <= next_lid:
+                        out.append(p)
+                        next_lid = max(p["tid"] - 1, 0)
+                return out
+
+            if sh.slice_type == SLICE_P:
+                # layer-0 P: plain closest-past, no tid constraint
+                self.refp = build(past, [], constrain_first=(tid > 0))
+            else:
+                self.refp = build(past, future)
+                self.refp1 = build(future, past)
         sbac = SbacDecoder(payload, br.byte_pos)
         ctx = SbacCtx()
 
@@ -156,19 +216,24 @@ class BaselineIntraDecoder:
             self.rec_y.copy(), self.rec_u.copy(), self.rec_v.copy(),
             poc=self.poc, slice_type=sh.slice_type, qp=sh.qp))
 
-        # DPB update (pic_marking + sliding window; xeve_picman.c:57-97)
+        # DPB update (pic_marking + sliding window; xeve_picman.c:57-97).
+        # Marking runs when a temporal-id-0 picture arrives: all higher-tid
+        # refs are dropped, then the window is capped at 5 refs (coding
+        # order).  self.dpb keeps coding order.
+        if self.tid == 0:
+            self.dpb = [p for p in self.dpb if p["tid"] == 0]
+            while len([p for p in self.dpb if p.get("ref", True)]) >= 5:
+                self.dpb.pop(0)
         pic = {
             "poc": self.poc,
+            "tid": self.tid,
+            "list0_poc": self.refp[0]["poc"] if self.refp else self.poc,
             "y_pad": mc_np.pad_picture(self.rec_y, self.pad_l),
             "u_pad": mc_np.pad_picture(self.rec_u, self.pad_l // 2),
             "v_pad": mc_np.pad_picture(self.rec_v, self.pad_l // 2),
             "map_mv": self.map_mv.copy(),
         }
         self.dpb.append(pic)
-        self.dpb.sort(key=lambda p: -p["poc"])
-        while len(self.dpb) > 5:   # XEVE_MAX_NUM_ACTIVE_REF_FRAME sliding win
-            self.dpb.pop()         # oldest poc (list is poc-desc)
-        self.poc += 1
 
     # -- CTU tree -----------------------------------------------------------
     def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh):
@@ -224,9 +289,31 @@ class BaselineIntraDecoder:
     def _mvp_list(self, x_scu, y_scu, scuw, scuh, lidx):
         avail = motion_np.get_avail_inter(x_scu, y_scu, self.w_scu, self.h_scu,
                                           scuw, scuh, self.map_cod, self.map_if)
-        ref0_map = self.refp[0]["map_mv"] if self.refp else None
+        refs = self.refp if lidx == 0 else self.refp1
+        ref0_map = refs[0]["map_mv"] if refs else None
         return motion_np.get_motion(x_scu, y_scu, scuw, lidx, avail,
                                     self.map_mv, ref0_map, self.w_scu)
+
+    def _mv_dir(self, x_scu, y_scu):
+        """Temporal direct MVs (xeve_get_mv_dir, xeve_util.c:620-650):
+        scale the co-located L0 MV of the first L1 reference; the colocated
+        SCU is the CU's bottom-right SCU (xeve_pinter.c:1545)."""
+        ref1 = self.refp1[0]
+        mvc = ref1["map_mv"][y_scu, x_scu, 0]
+        dpoc_co = ref1["poc"] - ref1["list0_poc"]
+        dpoc_l0 = self.poc - self.refp[0]["poc"]
+        dpoc_l1 = ref1["poc"] - self.poc
+        if dpoc_co == 0:
+            return (0, 0), (0, 0)
+
+        def sdiv(a, b):   # C truncation toward zero
+            q = abs(a) // abs(b)
+            return -q if (a < 0) != (b < 0) else q
+        mv0 = (sdiv(dpoc_l0 * int(mvc[0]), dpoc_co),
+               sdiv(dpoc_l0 * int(mvc[1]), dpoc_co))
+        mv1 = (sdiv(-dpoc_l1 * int(mvc[0]), dpoc_co),
+               sdiv(-dpoc_l1 * int(mvc[1]), dpoc_co))
+        return mv0, mv1
 
     def _decode_cu(self, sbac: SbacDecoder, ctx: SbacCtx, x, y, cuw, cuh):
         x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
@@ -235,31 +322,57 @@ class BaselineIntraDecoder:
 
         skip = 0
         mode_intra = True
-        refi0 = -1
-        mv0 = (0, 0)
-        mvp_idx = 0
+        refi = [-1, -1]
+        mv = [(0, 0), (0, 0)]
+        is_b = slice_type == 0  # SLICE_B
         if slice_type != SLICE_I:
             skip = sbac.decode_bin(ctx.skip_flag, 0)  # ctx 0 (cm_init off)
             if skip:
-                mvp_idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
-                mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
-                refi0 = 0
-                mv0 = (int(mvp[mvp_idx][0]), int(mvp[mvp_idx][1]))
                 mode_intra = False
+                idx0 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                mvp0 = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
+                refi[0] = 0
+                mv[0] = (int(mvp0[idx0][0]), int(mvp0[idx0][1]))
+                if is_b:
+                    idx1 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                    mvp1 = self._mvp_list(x_scu, y_scu, scuw, scuh, 1)
+                    refi[1] = 0
+                    mv[1] = (int(mvp1[idx1][0]), int(mvp1[idx1][1]))
             else:
                 pred_intra = sbac.decode_bin(ctx.pred_mode, 0)
                 mode_intra = bool(pred_intra)
                 if not mode_intra:
-                    # P slice: no direct flag, no inter_pred_idc
-                    num_refp = len(self.refp)
-                    refi0 = 0
-                    if num_refp > 1:
-                        refi0 = self._decode_refi(sbac, ctx, num_refp)
-                    mvp_idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
-                    mvd = self._decode_mvd(sbac, ctx)
-                    mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
-                    mv0 = (int(mvp[mvp_idx][0] + mvd[0]),
-                           int(mvp[mvp_idx][1] + mvd[1]))
+                    direct = 0
+                    if is_b:
+                        direct = sbac.decode_bin(ctx.direct_mode_flag, 0)
+                    if direct:
+                        mv0d, mv1d = self._mv_dir(x_scu + scuw - 1,
+                                                  y_scu + scuh - 1)
+                        refi = [0, 0]
+                        mv = [mv0d, mv1d]
+                    else:
+                        pred_dir = 0  # 0=L0, 1=L1, 2=BI
+                        if is_b:
+                            # xeve_eco_inter_pred_idc (bi applicable, admvp=0)
+                            if sbac.decode_bin(ctx.inter_dir, 0) == 0:
+                                pred_dir = 2
+                            else:
+                                pred_dir = 1 if sbac.decode_bin(ctx.inter_dir, 1) else 0
+                        for lidx in (0, 1):
+                            use = (lidx == 0 and pred_dir in (0, 2)) or \
+                                  (lidx == 1 and pred_dir in (1, 2))
+                            if not use:
+                                continue
+                            refs = self.refp if lidx == 0 else self.refp1
+                            r = 0
+                            if len(refs) > 1:
+                                r = self._decode_refi(sbac, ctx, len(refs))
+                            idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                            mvd = self._decode_mvd(sbac, ctx)
+                            mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, lidx)
+                            refi[lidx] = r
+                            mv[lidx] = (int(mvp[idx][0] + mvd[0]),
+                                        int(mvp[idx][1] + mvd[1]))
 
         ipm = 0
         if mode_intra:
@@ -317,7 +430,7 @@ class BaselineIntraDecoder:
             self._recon_intra_cu(x, y, cuw, cuh, ipm, qp_y, qp_u, qp_v,
                                  coef_y, coef_u, coef_v)
         else:
-            self._recon_inter_cu(x, y, cuw, cuh, refi0, mv0, qp_y, qp_u, qp_v,
+            self._recon_inter_cu(x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                                  coef_y, coef_u, coef_v)
 
         # update maps
@@ -329,10 +442,10 @@ class BaselineIntraDecoder:
         self.map_qp[ys:ys + hs, xs:xs + ws] = qp
         self.map_cbf_l[ys:ys + hs, xs:xs + ws] = bool(cbf_y)
         if not mode_intra:
-            self.map_refi[ys:ys + hs, xs:xs + ws, 0] = refi0
-            self.map_refi[ys:ys + hs, xs:xs + ws, 1] = -1
-            self.map_mv[ys:ys + hs, xs:xs + ws, 0, 0] = mv0[0]
-            self.map_mv[ys:ys + hs, xs:xs + ws, 0, 1] = mv0[1]
+            for lidx in (0, 1):
+                self.map_refi[ys:ys + hs, xs:xs + ws, lidx] = refi[lidx]
+                self.map_mv[ys:ys + hs, xs:xs + ws, lidx, 0] = mv[lidx][0]
+                self.map_mv[ys:ys + hs, xs:xs + ws, lidx, 1] = mv[lidx][1]
         self.leaf_cus.append((x, y, cuw, cuh))
 
     def _decode_refi(self, sbac, ctx, num_refp):
@@ -374,13 +487,29 @@ class BaselineIntraDecoder:
             out.append(val)
         return out
 
-    def _recon_inter_cu(self, x, y, cuw, cuh, refi0, mv0, qp_y, qp_u, qp_v,
+    def _recon_inter_cu(self, x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                         coef_y, coef_u, coef_v):
         bd = self.bd
-        ref = self.refp[refi0]
-        pred_y, pred_u, pred_v = mc_np.mc_cu(
-            x, y, cuw, cuh, mv0, ref["y_pad"], ref["u_pad"], ref["v_pad"],
-            self.pad_l, self.pad_l // 2, self.w, self.h, bd)
+        preds = []
+        clipped = []
+        for lidx in (0, 1):
+            if refi[lidx] < 0:
+                continue
+            refs = self.refp if lidx == 0 else self.refp1
+            ref = refs[refi[lidx]]
+            clipped.append((ref["poc"],
+                            mc_np.mv_clip(x, y, self.w, self.h, cuw, cuh, mv[lidx])))
+            preds.append(mc_np.mc_cu(
+                x, y, cuw, cuh, mv[lidx], ref["y_pad"], ref["u_pad"],
+                ref["v_pad"], self.pad_l, self.pad_l // 2, self.w, self.h, bd))
+        if len(preds) == 2 and clipped[0] == clipped[1]:
+            preds.pop()   # identical motion check (xeve_mc.c:546-551)
+        if len(preds) == 2:
+            pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+            pred_u = (preds[0][1] + preds[1][1] + 1) >> 1
+            pred_v = (preds[0][2] + preds[1][2] + 1) >> 1
+        else:
+            pred_y, pred_u, pred_v = preds[0]
         resi = None
         if coef_y is not None:
             resi = rk.inverse_dct2(rk.dequant(coef_y, qp_y, bd), bd)
