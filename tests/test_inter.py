@@ -51,3 +51,31 @@ def test_mc_kernels_integer_copy():
     # half-pel horizontal: filtered, stays in range
     out = mc_np.mc_luma(ref_pad, pad, (8 << 4) + 8, (4 << 4), 16, 16, 10)
     assert out.shape == (16, 16) and out.min() >= 0 and out.max() <= 1023
+
+
+def test_ra_gop16_encode_decode_roundtrip():
+    """RA hierarchical-B encoding: 20 frames through push/flush, coding
+    order must match the reference GOP16 structure, and the stream must
+    decode bit-exactly."""
+    from xeve_tpu.api import GopEncoder
+    w, h = 96, 80
+    enc = GopEncoder(EncoderParams(w=w, h=h, qp=30, keyint=0, bframes=15),
+                     coder="numpy")
+    bs_all = b""
+    recs = {}
+    for i in range(18):
+        y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96c.yuv"), w, h, i)
+        for bs, rec, poc in enc.push_frame(y8 << 2, u8 << 2, v8 << 2):
+            bs_all += bs
+            recs[poc] = rec
+    for bs, rec, poc in enc.flush():
+        bs_all += bs
+        recs[poc] = rec
+    frames = BaselineIntraDecoder().decode(bs_all)
+    assert len(frames) == 18
+    assert [f.poc for f in frames][:9] == [0, 16, 8, 4, 12, 2, 6, 10, 14]
+    for f in frames:
+        ry, ru, rv = recs[f.poc]
+        assert np.array_equal(f.y, ry), f"poc {f.poc} luma"
+        assert np.array_equal(f.u, ru)
+        assert np.array_equal(f.v, rv)

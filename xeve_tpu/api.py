@@ -16,8 +16,9 @@ from .entropy.sbac import SbacEncoder, SbacCtx
 from .enc.analysis_np import analyze_frame
 from .enc.intra_frame import IntraFramePass
 from .enc.frame_pass import FramePass, PAD_L
-from .constants import QP_ADAPT_LD, SLICE_P
+from .constants import QP_ADAPT_LD, SLICE_P, SLICE_B
 from .ops import mc_np
+from .ops import picman_np
 
 CABAC_ZERO_PARAM = 32
 
@@ -38,8 +39,11 @@ class Encoder:
         self.analysis_engine = analysis
         self.coder_engine = coder
         self._batch_analyzer = None
-        self.dpb = []          # poc-descending ref list (padded recon + mv map)
+        self.dpb = []          # DPB entries (padded recon + mv map + tid)
         self.poc = 0
+        self._gop_in = []      # pending display-order frames (RA reordering)
+        self._gop_base = 0
+        self._first_done = False
 
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
@@ -53,7 +57,7 @@ class Encoder:
             bit_depth_chroma_minus8=p.codec_bit_depth - 8,
             chroma_format_idc=1,
             max_num_ref_pics=1,
-            log2_sub_gop_length=0,
+            log2_sub_gop_length=4 if p.bframes >= 15 else 0,
             log2_ref_pic_gap_length=0,
         )
 
@@ -162,22 +166,26 @@ class Encoder:
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
 
-    def _dpb_push(self, rec_y, rec_u, rec_v, map_mv):
+    def _dpb_push(self, rec_y, rec_u, rec_v, map_mv, poc=None, tid=0,
+                  is_ref=True, is_idr=False, list0_poc=None):
         h_scu = (self.p.h + 3) >> 2
         w_scu = (self.p.w + 3) >> 2
         if map_mv is None:
             map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int32)
-        self.dpb.append({
-            "poc": self.poc,
+        if poc is None:
+            poc = self.poc
+            self.poc += 1
+        pic = {
+            "poc": poc,
+            "tid": tid,
+            "ref": is_ref,
+            "list0_poc": list0_poc if list0_poc is not None else poc,
             "y_pad": mc_np.pad_picture(np.asarray(rec_y, np.int32), PAD_L),
             "u_pad": mc_np.pad_picture(np.asarray(rec_u, np.int32), PAD_L // 2),
             "v_pad": mc_np.pad_picture(np.asarray(rec_v, np.int32), PAD_L // 2),
             "map_mv": map_mv,
-        })
-        self.dpb.sort(key=lambda q: -q["poc"])
-        while len(self.dpb) > 5:
-            self.dpb.pop()
-        self.poc += 1
+        }
+        picman_np.dpb_mark_and_insert(self.dpb, pic, is_idr)
 
     def _encode_frame_p(self, y, u, v):
         from .enc.analysis_inter_np import analyze_frame_inter
@@ -190,7 +198,8 @@ class Encoder:
         qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
         qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
         qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
-        refp = self.dpb[:1]
+        refp = sorted([q for q in self.dpb if q.get("ref", True)],
+                      key=lambda q: -q["poc"])[:1]
         an = analyze_frame_inter(np.asarray(y, np.int32), np.asarray(u, np.int32),
                                  np.asarray(v, np.int32), refp, qp, qp_y,
                                  qp_u, qp_v, bd,
@@ -308,3 +317,130 @@ def psnr(a: np.ndarray, b: np.ndarray, bd: int = 10) -> float:
         return 99.0
     peak = (1 << bd) - 1
     return 10.0 * np.log10(peak * peak / mse)
+
+
+# ----------------------------------------------------------------------
+# Random-access GOP16 engine (xeve default -b 15 structure)
+# ----------------------------------------------------------------------
+
+
+class GopEncoder(Encoder):
+    """Push/flush interface with RA GOP16 reordering when bframes >= 15;
+    degenerates to streaming I/P when bframes == 0."""
+
+    def push_frame(self, y, u, v):
+        p = self.p
+        if p.bframes < 15 or p.keyint == 1:
+            bs, rec = self.encode_frame(y, u, v)
+            return [(bs, rec, self.poc - 1)]
+        self._gop_in.append((y, u, v))
+        out = []
+        if not self._first_done:
+            bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
+            self._gop_in_base0 = None
+            self._first_done = True
+            out.append((bs, rec, 0))
+            self._gop_pending = []
+            return out
+        if len(self._gop_in) == 17:   # frame 0 + 16 display frames buffered
+            out.extend(self._encode_subgop())
+        return out
+
+    def flush(self):
+        """Encode trailing frames as a truncated sub-GOP: the hierarchical
+        coding order restricted to existing pocs.  POCs stay on the GOP grid
+        so the decoder's tid-based POC derivation still resolves them."""
+        out = []
+        base = self._gop_base
+        n_left = len(self._gop_in) - 1
+        limit = base + n_left
+        for (poc, tid, is_ref) in picman_np.ra_gop16_order(base):
+            if poc > limit:
+                continue
+            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                            SLICE_B)
+            out.append((bs, rec, poc))
+        self._gop_in = self._gop_in[-1:]
+        self._gop_base = limit
+        return out
+
+    def _encode_subgop(self):
+        out = []
+        base = self._gop_base
+        for (poc, tid, is_ref) in picman_np.ra_gop16_order(base):
+            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                            SLICE_B)
+            out.append((bs, rec, poc))
+        self._gop_base = base + 16
+        self._gop_in = self._gop_in[-1:]
+        return out
+
+    def _ra_qp(self, depth):
+        from .constants import QP_ADAPT_RA16
+        off_layer, off_model, scale_model = QP_ADAPT_RA16[depth]
+        qp = self.p.qp + off_layer
+        dqp = qp * scale_model + off_model + 0.5
+        qp += int(np.floor(np.clip(dqp, 0.0, 3.0)))
+        return int(np.clip(qp, 0, 51))
+
+    def _encode_ra_frame(self, poc, tid, disp_idx, is_ref, slice_type):
+        from .enc.analysis_inter_np import analyze_frame_inter
+        from .enc.analysis_np import analyze_frame as analyze_i
+        p = self.p
+        bd = p.codec_bit_depth
+        y, u, v = self._gop_in[disp_idx]
+        y = np.asarray(y, np.int32)
+        u = np.asarray(u, np.int32)
+        v = np.asarray(v, np.int32)
+        if slice_type == SLICE_I:
+            depth = 0
+        elif poc % 16 == 0:
+            depth = 1
+        else:
+            depth = tid + 1
+        qp = self._ra_qp(depth) if p.bframes >= 15 else self._slice_qp(slice_type)
+        qp_y = qp + 6 * (bd - 8)
+        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
+        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
+        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+
+        refp, refp1 = picman_np.build_ref_lists(
+            self.dpb, poc, tid, SLICE_B, SLICE_P, slice_type,
+            self.sps.max_num_ref_pics, -(10 ** 9))
+
+        nut = NUT_IDR if poc == 0 and self.pic_cnt == 0 else NUT_NONIDR
+        out = b""
+        if nut == NUT_IDR:
+            out += self._headers()
+
+        if slice_type == SLICE_I:
+            an = analyze_i(y, u, v, qp, qp_y, qp_u, qp_v, bd)
+        else:
+            an = analyze_frame_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
+                                     refp1=refp1 if slice_type == SLICE_B else None,
+                                     search_range=min(16, max(8, p.w // 24)))
+        sh = SliceHeader(slice_type=slice_type, qp=qp,
+                         qp_u_offset=p.qp_cb_offset,
+                         qp_v_offset=p.qp_cr_offset,
+                         deblocking_filter_on=1 if p.use_deblock else 0)
+        bw = BitWriter()
+        NalHeader(nut, tid).write(bw)
+        sh.write(bw, nut)
+        sbac = SbacEncoder()
+        ctx = SbacCtx()
+        fp = FramePass(p.w, p.h, bd, bd - 8, qp, p.qp_cb_offset,
+                       p.qp_cr_offset, slice_type=slice_type,
+                       refp=refp, refp1=refp1, poc=poc,
+                       use_rdoq=p.rdoq, use_deblock=p.use_deblock)
+        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, an, sbac, ctx)
+        payload = bw.get_bytes() + sbac.finish()
+        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        out += wrap_nal(payload)
+        if p.use_pic_sign:
+            out += self._signature_sei(rec_y, rec_u, rec_v)
+        self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv, poc=poc, tid=tid,
+                       is_ref=is_ref, is_idr=(nut == NUT_IDR),
+                       list0_poc=refp[0]["poc"] if refp else poc)
+        self.pic_cnt += 1
+        return out, (rec_y, rec_u, rec_v)

@@ -187,6 +187,11 @@ for _lw in range(0, 7):
 # ---------------------------------------------------------------------------
 # entries: (qp_offset_layer, qp_offset_model_offset, qp_offset_model_scale)
 QP_ADAPT_AI = [(0, 0.0, 0.0)] * 8
+# RA gop16 (xeve_qp_adapt_param_ra[1])
+QP_ADAPT_RA16 = [(-3, 0.0, 0.0), (1, 0.0, 0.0),
+                 (1, -4.8848, 0.2061), (4, -5.7476, 0.2286),
+                 (5, -5.9000, 0.2333), (6, -7.1444, 0.3000),
+                 (7, -7.1444, 0.3000), (8, -7.1444, 0.3000)]
 QP_ADAPT_LD = [(-1, 0.0, 0.0), (1, 0.0, 0.0),
                (4, -6.5, 0.2590), (4, -6.5, 0.2590),
                (5, -6.5, 0.2590), (5, -6.5, 0.2590),

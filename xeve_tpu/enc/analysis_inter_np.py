@@ -28,7 +28,8 @@ ME_BLK_LOG2 = 4  # 16x16 ME grid
 
 @dataclass
 class InterAnalysisResult(AnalysisResult):
-    mv: dict = None          # per level: (nby, nbx, 2) quarter-pel
+    mv: dict = None          # per level: (nby, nbx, 2) quarter-pel (L0)
+    mv1: dict = None         # per level L1 MVs (B slices), else None
     mode_bias: dict = None
 
 
@@ -103,10 +104,10 @@ def _mv_for_level(mv16: np.ndarray, lg: int, nby: int, nbx: int):
 
 
 def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
-                        bd, search_range=16, do_subpel=True,
+                        bd, search_range=16, do_subpel=True, refp1=None,
                         max_log2=6, min_log2=2) -> InterAnalysisResult:
-    """P-frame analysis: intra costs (open loop) + inter costs (exact MC on
-    the real reference) -> combined partition DP."""
+    """P/B-frame analysis: intra costs (open loop) + inter costs (exact MC
+    on the real reference(s)) -> combined partition DP."""
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     h, w = orig_y.shape
     intra = analysis_np.analyze_frame(orig_y, orig_u, orig_v, qp, qp_y, qp_u,
@@ -119,9 +120,17 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
         mv16 = subpel_refine(orig_y, ref["y_pad"], pad, mv16_i, bd)
     else:
         mv16 = (mv16_i << 2)
+    mv16_b = None
+    if refp1 and refp1[0]["poc"] != ref["poc"]:
+        mv16_i1, _ = integer_me(orig_y, refp1[0]["y_pad"], pad, search_range)
+        mv16_b = subpel_refine(orig_y, refp1[0]["y_pad"], pad, mv16_i1, bd) \
+            if do_subpel else (mv16_i1 << 2)
+    elif refp1:
+        mv16_b = mv16
 
     mode = {}
     mv = {}
+    mv1 = {} if mv16_b is not None else None
     leaf_cost = {}
     w_u = 2.0 ** ((qp_y - qp_u) / 3.0)
     w_v = 2.0 ** ((qp_y - qp_v) / 3.0)
@@ -149,6 +158,8 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
                                      0.35 * d + lam * (bits + 0.02 * d ** 0.5 * s))
         mode[lg] = intra.mode[lg]
         mv[lg] = mv_l
+        if mv1 is not None:
+            mv1[lg] = _mv_for_level(mv16_b, lg, nby, nbx)
         leaf_cost[lg] = np.minimum(intra.leaf_cost[lg], cost_i)
 
     tree_cost = {min_log2: leaf_cost[min_log2]}
@@ -166,4 +177,4 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
 
     return InterAnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,
-                               tree_cost=tree_cost, mv=mv)
+                               tree_cost=tree_cost, mv=mv, mv1=mv1)
