@@ -79,3 +79,31 @@ def test_ra_gop16_encode_decode_roundtrip():
         assert np.array_equal(f.y, ry), f"poc {f.poc} luma"
         assert np.array_equal(f.u, ru)
         assert np.array_equal(f.v, rv)
+
+
+def test_rate_control_abr_tracks_target():
+    w, h = 96, 80
+    enc = Encoder(EncoderParams(w=w, h=h, keyint=0, rc_type="abr",
+                                bitrate_kbps=150, fps=30), coder="numpy")
+    tot = 0
+    for i in range(6):
+        y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96b.yuv"), w, h, i)
+        bs, _ = enc.encode_frame(y8 << 2, u8 << 2, v8 << 2)
+        tot += len(bs)
+    kbps = tot * 8 * 30 / 6 / 1000
+    assert 75 < kbps < 300, f"ABR off target: {kbps} kbps for 150 target"
+
+
+def test_rate_control_crf_monotonic():
+    w, h = 96, 80
+    sizes = []
+    for crf in (27, 37):
+        enc = Encoder(EncoderParams(w=w, h=h, keyint=0, rc_type="crf",
+                                    crf=crf, fps=30), coder="numpy")
+        tot = 0
+        for i in range(4):
+            y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96b.yuv"), w, h, i)
+            bs, _ = enc.encode_frame(y8 << 2, u8 << 2, v8 << 2)
+            tot += len(bs)
+        sizes.append(tot)
+    assert sizes[0] > sizes[1]

@@ -44,6 +44,13 @@ class Encoder:
         self._gop_in = []      # pending display-order frames (RA reordering)
         self._gop_base = 0
         self._first_done = False
+        self._prev_orig_y = None
+        self.rc = None
+        if self.p.rc_type in ("abr", "crf"):
+            from .enc.rc import RateControl
+            self.rc = RateControl(self.p.rc_type, self.p.w, self.p.h,
+                                  self.p.fps, self.p.bitrate_kbps, self.p.crf,
+                                  self.p.qp_min, self.p.qp_max)
 
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
@@ -85,6 +92,19 @@ class Encoder:
             return SLICE_I
         return SLICE_P
 
+    def _rc_qp(self, slice_type: int, depth: int, y) -> int | None:
+        if self.rc is None:
+            return None
+        from .enc.rc import frame_complexity
+        cpx = frame_complexity(np.asarray(y),
+                               self._prev_orig_y if slice_type != SLICE_I else None)
+        self._rc_cpx = cpx
+        return self.rc.pick_qp(slice_type, depth, cpx)
+
+    def _rc_update(self, slice_type: int, qp: int, nbytes: int):
+        if self.rc is not None:
+            self.rc.update(slice_type, qp, nbytes * 8, self._rc_cpx)
+
     def _slice_qp(self, slice_type: int) -> int:
         """Low-delay hierarchical QP offsets (xeve_set_sh, xeve_enc.c:1496;
         xeve_qp_adapt_param_ld with ref gap 1 -> depth 0 for I, 2 for P)."""
@@ -112,7 +132,9 @@ class Encoder:
         if self.pic_cnt == 0 or (nut == NUT_IDR and self.pic_cnt > 0):
             out += self._headers()
 
-        qp = self._slice_qp(slice_type)
+        qp = self._rc_qp(slice_type, 0, y)
+        if qp is None:
+            qp = self._slice_qp(slice_type)
         bd = p.codec_bit_depth
         qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
@@ -162,6 +184,8 @@ class Encoder:
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
 
+        self._rc_update(SLICE_I, qp, len(out))
+        self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, None)
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
@@ -192,7 +216,9 @@ class Encoder:
         from .entropy.sbac import SbacEncoder, SbacCtx
         p = self.p
         bd = p.codec_bit_depth
-        qp = self._slice_qp(SLICE_P)
+        qp = self._rc_qp(SLICE_P, 2, y)
+        if qp is None:
+            qp = self._slice_qp(SLICE_P)
         qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
         qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
@@ -223,6 +249,8 @@ class Encoder:
         out = wrap_nal(payload)
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
+        self._rc_update(SLICE_P, qp, len(out))
+        self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv)
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
@@ -398,7 +426,9 @@ class GopEncoder(Encoder):
             depth = 1
         else:
             depth = tid + 1
-        qp = self._ra_qp(depth) if p.bframes >= 15 else self._slice_qp(slice_type)
+        qp = self._rc_qp(slice_type, depth, y)
+        if qp is None:
+            qp = self._ra_qp(depth) if p.bframes >= 15 else self._slice_qp(slice_type)
         qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
         qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
@@ -439,6 +469,8 @@ class GopEncoder(Encoder):
         out += wrap_nal(payload)
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
+        self._rc_update(slice_type, qp, len(out))
+        self._prev_orig_y = y
         self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv, poc=poc, tid=tid,
                        is_ref=is_ref, is_idr=(nut == NUT_IDR),
                        list0_poc=refp[0]["poc"] if refp else poc)

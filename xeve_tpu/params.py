@@ -28,6 +28,11 @@ class EncoderParams:
     closed_gop: bool = False
     level_idc: int = 40
     preset: str = "medium"
+    rc_type: str = "cq"          # cq | abr | crf
+    bitrate_kbps: float = 0.0
+    crf: int = 32
+    qp_min: int = 0
+    qp_max: int = 51
 
     def validate(self):
         assert self.w > 0 and self.h > 0
