@@ -7,6 +7,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# some environments force-register a TPU plugin from sitecustomize before
+# conftest runs; pin the platform at the config level too
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
