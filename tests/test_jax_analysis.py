@@ -55,3 +55,19 @@ def test_meshed_analysis_multichip():
         pytest.skip("needs multi-device (virtual) platform")
     import __graft_entry__ as ge
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_pallas_me_agrees_with_numpy():
+    """Pallas full-search ME vs the exact numpy oracle (interpret mode on
+    CPU so the test runs without TPU hardware)."""
+    import jax
+    from xeve_tpu.ops import mc_np
+    from xeve_tpu.enc.analysis_inter_np import integer_me
+    y0, _, _ = load_yuv8(os.path.join(DATA, "s96b.yuv"), 96, 80, 0)
+    y1, _, _ = load_yuv8(os.path.join(DATA, "s96b.yuv"), 96, 80, 1)
+    ref_pad = mc_np.pad_picture((y0 << 2).astype(np.int32), 80)
+    cur = (y1 << 2).astype(np.int32)
+    mv_np, _ = integer_me(cur, ref_pad, 80, 8)
+    from xeve_tpu.enc.me_jax import integer_me_jax
+    mv_jx, _ = integer_me_jax(cur, ref_pad, 80, 8)
+    assert (mv_np == np.asarray(mv_jx)).all()
