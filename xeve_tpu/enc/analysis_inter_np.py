@@ -25,6 +25,18 @@ from . import syntax
 
 ME_BLK_LOG2 = 4  # 16x16 ME grid
 
+ME_ENGINE = "numpy"   # numpy | jax | pallas (set by the encoder)
+
+
+def _integer_me_dispatch(cur_y, ref_y_pad, pad, search_range):
+    if ME_ENGINE == "pallas":
+        from ..ops.pallas_me import integer_me_pallas
+        return integer_me_pallas(cur_y, ref_y_pad, pad, search_range)
+    if ME_ENGINE == "jax":
+        from .me_jax import integer_me_jax
+        return integer_me_jax(cur_y, ref_y_pad, pad, search_range)
+    return integer_me(cur_y, ref_y_pad, pad, search_range)
+
 
 @dataclass
 class InterAnalysisResult(AnalysisResult):
@@ -115,14 +127,15 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
                                       min_log2=min_log2)
     ref = refp[0]
     pad = 64 + 16
-    mv16_i, _ = integer_me(orig_y, ref["y_pad"], pad, search_range)
+    mv16_i, _ = _integer_me_dispatch(orig_y, ref["y_pad"], pad, search_range)
     if do_subpel:
         mv16 = subpel_refine(orig_y, ref["y_pad"], pad, mv16_i, bd)
     else:
         mv16 = (mv16_i << 2)
     mv16_b = None
     if refp1 and refp1[0]["poc"] != ref["poc"]:
-        mv16_i1, _ = integer_me(orig_y, refp1[0]["y_pad"], pad, search_range)
+        mv16_i1, _ = _integer_me_dispatch(orig_y, refp1[0]["y_pad"], pad,
+                                          search_range)
         mv16_b = subpel_refine(orig_y, refp1[0]["y_pad"], pad, mv16_i1, bd) \
             if do_subpel else (mv16_i1 << 2)
     elif refp1:

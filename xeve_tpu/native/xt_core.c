@@ -174,6 +174,34 @@ static void xt_sbac_finish(XtSbac *s)
 /* Transforms (exact integer; xeve_tq.c / xeve_itdq.c semantics)       */
 /* ------------------------------------------------------------------ */
 
+/* 1-D forward DCT-2 over `line` vectors of length n laid out with stride
+ * `line`: uses the even/odd symmetry of the DCT matrix (tm[u][k] ==
+ * +-tm[u][n-1-k]) to halve the multiply count; integer-exact. */
+static void xt_fwd_1d_s32(const int32_t *src, int32_t *dst, int n, int line,
+                          const int8_t *T)
+{
+    int32_t E[32], O[32];
+    for (int j = 0; j < line; j++) {
+        const int32_t *r = src + j * n;
+        for (int k = 0; k < n / 2; k++) {
+            E[k] = r[k] + r[n - 1 - k];
+            O[k] = r[k] - r[n - 1 - k];
+        }
+        for (int u = 0; u < n; u += 2) {
+            const int8_t *t = T + u * n;
+            int64_t acc = 0;
+            for (int k = 0; k < n / 2; k++) acc += (int64_t)t[k] * E[k];
+            dst[u * line + j] = (int32_t)acc;
+        }
+        for (int u = 1; u < n; u += 2) {
+            const int8_t *t = T + u * n;
+            int64_t acc = 0;
+            for (int k = 0; k < n / 2; k++) acc += (int64_t)t[k] * O[k];
+            dst[u * line + j] = (int32_t)acc;
+        }
+    }
+}
+
 static void xt_fwd_dct2(const int32_t *resi, int32_t *coef, int lg, int bd)
 {
     int n = 1 << lg;
@@ -181,21 +209,26 @@ static void xt_fwd_dct2(const int32_t *resi, int32_t *coef, int lg, int bd)
     int shift = (lg - 1 + bd - 8) + (lg + 6);
     int64_t add = 1ll << (shift - 1);
     int32_t tmp[64 * 64]; /* tmp[u][j] */
-    for (int j = 0; j < n; j++) {
-        const int32_t *r = resi + j * n;
-        for (int u = 0; u < n; u++) {
-            const int8_t *t = T + u * n;
-            int64_t acc = 0;
-            for (int k = 0; k < n; k++) acc += (int64_t)t[k] * r[k];
-            tmp[u * n + j] = (int32_t)acc;
+    xt_fwd_1d_s32(resi, tmp, n, n, T);
+    /* second stage with combined shift; same even/odd trick on columns of
+     * tmp (each row of tmp is one frequency u over spatial rows j) */
+    int64_t E[32], O[32];
+    for (int u = 0; u < n; u++) {
+        const int32_t *m = tmp + u * n;
+        for (int j = 0; j < n / 2; j++) {
+            E[j] = (int64_t)m[j] + m[n - 1 - j];
+            O[j] = (int64_t)m[j] - m[n - 1 - j];
         }
-    }
-    for (int v = 0; v < n; v++) {
-        const int8_t *t = T + v * n;
-        for (int u = 0; u < n; u++) {
-            const int32_t *m = tmp + u * n;
+        for (int v = 0; v < n; v += 2) {
+            const int8_t *t = T + v * n;
             int64_t acc = 0;
-            for (int j = 0; j < n; j++) acc += (int64_t)t[j] * m[j];
+            for (int j = 0; j < n / 2; j++) acc += (int64_t)t[j] * E[j];
+            coef[v * n + u] = (int32_t)((acc + add) >> shift);
+        }
+        for (int v = 1; v < n; v += 2) {
+            const int8_t *t = T + v * n;
+            int64_t acc = 0;
+            for (int j = 0; j < n / 2; j++) acc += (int64_t)t[j] * O[j];
             coef[v * n + u] = (int32_t)((acc + add) >> shift);
         }
     }
@@ -208,25 +241,39 @@ static void xt_inv_dct2(const int32_t *coef, int32_t *resi, int lg, int bd)
     int shift = 7 + (12 - (bd - 8));
     int64_t add = 1ll << (shift - 1);
     int32_t tmp[64 * 64]; /* tmp[k][u] */
+    /* stage 1 (columns): dst[k] and dst[n-1-k] share even/odd partials */
     for (int u = 0; u < n; u++) {
-        for (int k = 0; k < n; k++) {
-            int64_t acc = 0;
-            for (int v = 0; v < n; v++)
-                acc += (int64_t)T[v * n + k] * coef[v * n + u];
-            if (acc > 2147483647ll) acc = 2147483647ll;
-            if (acc < -2147483647ll) acc = -2147483647ll;
-            tmp[k * n + u] = (int32_t)acc;
+        for (int k = 0; k < n / 2; k++) {
+            int64_t se = 0, so = 0;
+            for (int v = 0; v < n; v += 2)
+                se += (int64_t)T[v * n + k] * coef[v * n + u];
+            for (int v = 1; v < n; v += 2)
+                so += (int64_t)T[v * n + k] * coef[v * n + u];
+            int64_t a = se + so, b = se - so;
+            if (a > 2147483647ll) a = 2147483647ll;
+            if (a < -2147483647ll) a = -2147483647ll;
+            if (b > 2147483647ll) b = 2147483647ll;
+            if (b < -2147483647ll) b = -2147483647ll;
+            tmp[k * n + u] = (int32_t)a;
+            tmp[(n - 1 - k) * n + u] = (int32_t)b;
         }
     }
     for (int k = 0; k < n; k++) {
-        for (int m = 0; m < n; m++) {
-            int64_t acc = 0;
-            for (int u = 0; u < n; u++)
-                acc += (int64_t)tmp[k * n + u] * T[u * n + m];
-            int64_t v = (acc + add) >> shift;
-            if (v > 32767) v = 32767;
-            if (v < -32768) v = -32768;
-            resi[k * n + m] = (int32_t)v;
+        const int32_t *m = tmp + k * n;
+        for (int c = 0; c < n / 2; c++) {
+            int64_t se = 0, so = 0;
+            for (int u = 0; u < n; u += 2)
+                se += (int64_t)m[u] * T[u * n + c];
+            for (int u = 1; u < n; u += 2)
+                so += (int64_t)m[u] * T[u * n + c];
+            int64_t a = (se + so + add) >> shift;
+            int64_t b = (se - so + add) >> shift;
+            if (a > 32767) a = 32767;
+            if (a < -32768) a = -32768;
+            if (b > 32767) b = 32767;
+            if (b < -32768) b = -32768;
+            resi[k * n + c] = (int32_t)a;
+            resi[k * n + (n - 1 - c)] = (int32_t)b;
         }
     }
 }
