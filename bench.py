@@ -23,7 +23,8 @@ XEVE_1080P_AI_FPS = 0.326  # measured: xeve_app 1920x1088 AI QP32 medium, 1 thre
 W, H = 1920, 1088
 QP = 32
 BATCH = 4
-N_BATCHES = 3
+N_FRAMES = 16
+N_BATCHES = 2
 
 
 def gen_frames(n):
@@ -40,7 +41,7 @@ def main():
     from xeve_tpu.api import Encoder
     from xeve_tpu.params import EncoderParams
 
-    frames = gen_frames(BATCH)
+    frames = gen_frames(N_FRAMES)
     analysis = "jax"
     try:
         import jax
@@ -51,14 +52,14 @@ def main():
     enc = Encoder(EncoderParams(w=W, h=H, qp=QP, keyint=1), analysis=analysis)
     # warmup (compile / persistent-cache load)
     t_warm = time.time()
-    enc.encode_frames(frames[:BATCH])
+    enc.encode_frames(frames[:BATCH], batch=BATCH)
     warm_s = time.time() - t_warm
 
     t0 = time.time()
     total_frames = 0
     total_bytes = 0
     for _ in range(N_BATCHES):
-        out = enc.encode_frames(frames)
+        out = enc.encode_frames(frames, batch=BATCH)
         total_frames += len(out)
         total_bytes += sum(len(b) for b, _ in out)
     dt = time.time() - t0

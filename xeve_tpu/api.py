@@ -255,10 +255,13 @@ class Encoder:
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
 
-    def encode_frames(self, frames):
-        """Batch all-intra encode: analysis for the whole batch in one TPU
-        dispatch, then per-frame native coding.  frames: list of (y, u, v).
-        Returns list of (bitstream_bytes, (rec_y, rec_u, rec_v))."""
+    def encode_frames(self, frames, batch: int = 4):
+        """Batch all-intra encode with a two-stage pipeline: TPU analysis of
+        chunk k+1 runs in a background thread while the native C pass codes
+        chunk k.  frames: list of (y, u, v).  Returns list of
+        (bitstream_bytes, (rec_y, rec_u, rec_v))."""
+        import threading
+        from queue import Queue
         p = self.p
         qp = p.qp
         bd = p.codec_bit_depth
@@ -268,46 +271,60 @@ class Encoder:
         qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
         qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
 
-        if self.analysis_engine == "jax":
-            from .enc.analysis_jax import BatchAnalyzer
-            if self._batch_analyzer is None:
-                self._batch_analyzer = BatchAnalyzer(p.w, p.h, qp, qp_y,
-                                                     qp_u, qp_v, bd)
-            analyses = self._batch_analyzer.analyze(frames)
-        else:
-            analyses = [analyze_frame(np.asarray(y, dtype=np.int32),
-                                      np.asarray(u, dtype=np.int32),
-                                      np.asarray(v, dtype=np.int32),
-                                      qp, qp_y, qp_u, qp_v, bd)
-                        for (y, u, v) in frames]
+        chunks = [frames[i:i + batch] for i in range(0, len(frames), batch)]
+
+        def analyze_chunk(chunk):
+            if self.analysis_engine == "jax":
+                from .enc.analysis_jax import BatchAnalyzer
+                if self._batch_analyzer is None:
+                    self._batch_analyzer = BatchAnalyzer(p.w, p.h, qp, qp_y,
+                                                         qp_u, qp_v, bd)
+                return self._batch_analyzer.analyze(chunk)
+            return [analyze_frame(np.asarray(y, dtype=np.int32),
+                                  np.asarray(u, dtype=np.int32),
+                                  np.asarray(v, dtype=np.int32),
+                                  qp, qp_y, qp_u, qp_v, bd)
+                    for (y, u, v) in chunk]
+
+        q = Queue(maxsize=1)
+
+        def producer():
+            for ch in chunks:
+                q.put(analyze_chunk(ch))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
 
         from .enc.intra_frame_native import encode_intra_frame_native
         out = []
-        for (y, u, v), an in zip(frames, analyses):
-            nut = NUT_IDR if self.pic_cnt == 0 else NUT_NONIDR
-            bs = b""
-            if self.pic_cnt == 0:
-                bs += self._headers()
-            sh = SliceHeader(slice_type=SLICE_I, qp=qp,
-                             qp_u_offset=p.qp_cb_offset,
-                             qp_v_offset=p.qp_cr_offset,
-                             deblocking_filter_on=1 if p.use_deblock else 0)
-            bw = BitWriter()
-            NalHeader(nut, 0).write(bw)
-            sh.write(bw, nut)
-            slice_payload, bin_count, rec_y, rec_u, rec_v = \
-                encode_intra_frame_native(p.w, p.h, bd, qp,
-                                          p.qp_cb_offset, p.qp_cr_offset,
-                                          y, u, v, an,
-                                          use_rdoq=p.rdoq,
-                                          use_deblock=p.use_deblock)
-            payload = bw.get_bytes() + slice_payload
-            payload += self._cabac_zero_words(bin_count, len(payload))
-            bs += wrap_nal(payload)
-            if p.use_pic_sign:
-                bs += self._signature_sei(rec_y, rec_u, rec_v)
-            self.pic_cnt += 1
-            out.append((bs, (rec_y, rec_u, rec_v)))
+        for ch in chunks:
+            analyses = q.get()     # chunk k analyses; chunk k+1 in flight
+            for (y, u, v), an in zip(ch, analyses):
+                nut = NUT_IDR if self.pic_cnt == 0 else NUT_NONIDR
+                bs = b""
+                if self.pic_cnt == 0:
+                    bs += self._headers()
+                sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                                 qp_u_offset=p.qp_cb_offset,
+                                 qp_v_offset=p.qp_cr_offset,
+                                 deblocking_filter_on=1 if p.use_deblock else 0)
+                bw = BitWriter()
+                NalHeader(nut, 0).write(bw)
+                sh.write(bw, nut)
+                slice_payload, bin_count, rec_y, rec_u, rec_v = \
+                    encode_intra_frame_native(p.w, p.h, bd, qp,
+                                              p.qp_cb_offset, p.qp_cr_offset,
+                                              y, u, v, an,
+                                              use_rdoq=p.rdoq,
+                                              use_deblock=p.use_deblock)
+                payload = bw.get_bytes() + slice_payload
+                payload += self._cabac_zero_words(bin_count, len(payload))
+                bs += wrap_nal(payload)
+                if p.use_pic_sign:
+                    bs += self._signature_sei(rec_y, rec_u, rec_v)
+                self.pic_cnt += 1
+                out.append((bs, (rec_y, rec_u, rec_v)))
+        t.join()
         return out
 
     def _cabac_zero_words(self, bin_count: int, num_bytes_in_units: int) -> bytes:

@@ -39,6 +39,10 @@ for _l in range(6):
             MPM_INV[_l, _u, MPM_TBL[_l, _u, _ipm]] = _ipm
 
 
+class DecodeError(Exception):
+    """Raised when the bitstream is malformed/truncated."""
+
+
 @dataclass
 class DecodedFrame:
     y: np.ndarray
@@ -63,6 +67,14 @@ class BaselineIntraDecoder:
 
     # -- top level ----------------------------------------------------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
+        try:
+            return self._decode_stream(stream)
+        except DecodeError:
+            raise
+        except (IndexError, AssertionError, ValueError) as e:
+            raise DecodeError(f"malformed or truncated bitstream: {e}") from e
+
+    def _decode_stream(self, stream: bytes) -> list[DecodedFrame]:
         for hdr, payload, _full in split_nals(stream):
             if hdr.nal_unit_type == NUT_SPS:
                 self.sps = SPS.parse(BitReader(payload))

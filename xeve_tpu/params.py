@@ -38,7 +38,7 @@ class EncoderParams:
         assert self.w > 0 and self.h > 0
         assert self.w % 8 == 0 and self.h % 8 == 0, \
             "non-multiple-of-8 dimensions need crop support (TODO)"
-        assert 0 <= self.qp <= 51
+        assert 0 <= self.qp <= 51, f"qp {self.qp} out of range [0, 51]"
         assert self.codec_bit_depth in (10,)
         return self
 

@@ -15,11 +15,15 @@ def main():
     ap.add_argument("-v", "--verbose", type=int, default=2)
     args = ap.parse_args()
 
-    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder, DecodeError
     from xeve_tpu.io.video import write_recon_frame
 
     stream = open(args.input, "rb").read()
-    frames = BaselineIntraDecoder().decode(stream)
+    try:
+        frames = BaselineIntraDecoder().decode(stream)
+    except DecodeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(1)
     if args.verbose >= 2:
         for f in frames:
             st = {0: "B", 1: "P", 2: "I"}.get(f.slice_type, "?")
