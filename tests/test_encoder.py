@@ -50,3 +50,20 @@ def test_no_deblock_and_no_rdoq_paths():
     assert np.array_equal(f.y, ry)
     assert np.array_equal(f.u, ru)
     assert np.array_equal(f.v, rv)
+
+
+def test_arbitrary_resolution_with_crop():
+    """Non-multiple-of-8 frames are coded at the aligned size with SPS
+    cropping; round-trip stays bit-exact and crop metadata is exposed."""
+    rng = np.random.RandomState(3)
+    w, h = 90, 70
+    y = rng.randint(0, 1024, (h, w)).astype(np.int32)
+    u = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32)
+    v = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32)
+    enc = Encoder(EncoderParams(w=w, h=h, qp=30, keyint=1), coder="numpy")
+    bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+    f = BaselineIntraDecoder().decode(bs)[0]
+    assert f.y.shape == (72, 96)
+    assert np.array_equal(f.y, ry)
+    dy, du, dv = f.display()
+    assert dy.shape == (70, 90)

@@ -55,11 +55,15 @@ class Encoder:
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
         p = self.p
+        crop = (p.w != p.w_aligned) or (p.h != p.h_aligned)
         return SPS(
             profile_idc=p.profile,
             level_idc=p.level_idc * 3,
-            pic_width_in_luma_samples=p.w,
-            pic_height_in_luma_samples=p.h,
+            pic_width_in_luma_samples=p.w_aligned,
+            pic_height_in_luma_samples=p.h_aligned,
+            picture_cropping_flag=1 if crop else 0,
+            picture_crop_right_offset=(p.w_aligned - p.w + 1) >> 1,
+            picture_crop_bottom_offset=(p.h_aligned - p.h + 1) >> 1,
             bit_depth_luma_minus8=p.codec_bit_depth - 8,
             bit_depth_chroma_minus8=p.codec_bit_depth - 8,
             chroma_format_idc=1,
@@ -82,6 +86,22 @@ class Encoder:
         self.pps.write(bw)
         out += wrap_nal(bw.get_bytes())
         return out
+
+    def _pad_input(self, y, u, v):
+        """Edge-replicate to the 8-aligned coded size (SPS crop signals the
+        real dimensions)."""
+        p = self.p
+        if p.w == p.w_aligned and p.h == p.h_aligned:
+            return (np.asarray(y, np.int32), np.asarray(u, np.int32),
+                    np.asarray(v, np.int32))
+        ey = p.h_aligned - p.h
+        ex = p.w_aligned - p.w
+        y = np.pad(np.asarray(y, np.int32), ((0, ey), (0, ex)), mode="edge")
+        u = np.pad(np.asarray(u, np.int32), ((0, ey // 2 + (ey & 1)), (0, ex // 2 + (ex & 1))), mode="edge")
+        v = np.pad(np.asarray(v, np.int32), ((0, ey // 2 + (ey & 1)), (0, ex // 2 + (ex & 1))), mode="edge")
+        u = u[:p.h_aligned // 2, :p.w_aligned // 2]
+        v = v[:p.h_aligned // 2, :p.w_aligned // 2]
+        return y, u, v
 
     # ------------------------------------------------------------------
     def _slice_type_for(self, pic_cnt: int) -> int:
@@ -123,6 +143,7 @@ class Encoder:
         arrays at codec bit depth.  Returns (bitstream_bytes,
         (rec_y, rec_u, rec_v))."""
         p = self.p
+        y, u, v = self._pad_input(y, u, v)
         slice_type = self._slice_type_for(self.pic_cnt)
         if slice_type == SLICE_P:
             return self._encode_frame_p(y, u, v)
@@ -163,7 +184,7 @@ class Encoder:
         if self.coder_engine == "native":
             from .enc.intra_frame_native import encode_intra_frame_native
             slice_payload, bin_count, rec_y, rec_u, rec_v = \
-                encode_intra_frame_native(p.w, p.h, bd, qp,
+                encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                           p.qp_cb_offset, p.qp_cr_offset,
                                           y, u, v, analysis,
                                           use_rdoq=p.rdoq,
@@ -171,7 +192,7 @@ class Encoder:
         else:
             sbac = SbacEncoder()
             ctx = SbacCtx()
-            fp = IntraFramePass(p.w, p.h, bd, bd - 8, qp,
+            fp = IntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
                                 p.qp_cb_offset, p.qp_cr_offset,
                                 use_rdoq=p.rdoq, use_deblock=p.use_deblock)
             rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
@@ -192,8 +213,8 @@ class Encoder:
 
     def _dpb_push(self, rec_y, rec_u, rec_v, map_mv, poc=None, tid=0,
                   is_ref=True, is_idr=False, list0_poc=None):
-        h_scu = (self.p.h + 3) >> 2
-        w_scu = (self.p.w + 3) >> 2
+        h_scu = (self.p.h_aligned + 3) >> 2
+        w_scu = (self.p.w_aligned + 3) >> 2
         if map_mv is None:
             map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int32)
         if poc is None:
@@ -238,7 +259,7 @@ class Encoder:
         sh.write(bw, NUT_NONIDR)
         sbac = SbacEncoder()
         ctx = SbacCtx()
-        fp = FramePass(p.w, p.h, bd, bd - 8, qp, p.qp_cb_offset,
+        fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,
                        p.qp_cr_offset, slice_type=SLICE_P, refp=refp,
                        use_rdoq=p.rdoq, use_deblock=p.use_deblock)
         rec_y, rec_u, rec_v, _ = fp.encode(np.asarray(y, np.int32),
@@ -263,6 +284,7 @@ class Encoder:
         import threading
         from queue import Queue
         p = self.p
+        frames = [self._pad_input(*f) for f in frames]
         qp = p.qp
         bd = p.codec_bit_depth
         qp_y = qp + 6 * (bd - 8)
@@ -277,7 +299,7 @@ class Encoder:
             if self.analysis_engine == "jax":
                 from .enc.analysis_jax import BatchAnalyzer
                 if self._batch_analyzer is None:
-                    self._batch_analyzer = BatchAnalyzer(p.w, p.h, qp, qp_y,
+                    self._batch_analyzer = BatchAnalyzer(p.w_aligned, p.h_aligned, qp, qp_y,
                                                          qp_u, qp_v, bd)
                 return self._batch_analyzer.analyze(chunk)
             return [analyze_frame(np.asarray(y, dtype=np.int32),
@@ -312,7 +334,7 @@ class Encoder:
                 NalHeader(nut, 0).write(bw)
                 sh.write(bw, nut)
                 slice_payload, bin_count, rec_y, rec_u, rec_v = \
-                    encode_intra_frame_native(p.w, p.h, bd, qp,
+                    encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                               p.qp_cb_offset, p.qp_cr_offset,
                                               y, u, v, an,
                                               use_rdoq=p.rdoq,
@@ -331,7 +353,7 @@ class Encoder:
         """xeve_enc.c:553-577 conformance stuffing."""
         p = self.p
         log2_sub_wh_c = 2
-        raw_bits = p.w * p.h * (p.codec_bit_depth +
+        raw_bits = p.w_aligned * p.h_aligned * (p.codec_bit_depth +
                                 2 * (p.codec_bit_depth >> log2_sub_wh_c))
         threshold = (CABAC_ZERO_PARAM // 3) * num_bytes_in_units + raw_bits // 32
         if bin_count >= threshold:
@@ -378,7 +400,7 @@ class GopEncoder(Encoder):
         if p.bframes < 15 or p.keyint == 1:
             bs, rec = self.encode_frame(y, u, v)
             return [(bs, rec, self.poc - 1)]
-        self._gop_in.append((y, u, v))
+        self._gop_in.append(self._pad_input(y, u, v))
         out = []
         if not self._first_done:
             bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
@@ -476,7 +498,7 @@ class GopEncoder(Encoder):
         sh.write(bw, nut)
         sbac = SbacEncoder()
         ctx = SbacCtx()
-        fp = FramePass(p.w, p.h, bd, bd - 8, qp, p.qp_cb_offset,
+        fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,
                        p.qp_cr_offset, slice_type=slice_type,
                        refp=refp, refp1=refp1, poc=poc,
                        use_rdoq=p.rdoq, use_deblock=p.use_deblock)

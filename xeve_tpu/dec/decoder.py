@@ -51,6 +51,16 @@ class DecodedFrame:
     poc: int = 0
     slice_type: int = SLICE_I
     qp: int = 32
+    crop_w: int = 0     # displayed size per SPS cropping (0 = full)
+    crop_h: int = 0
+
+    def display(self):
+        """(y, u, v) cropped to the signalled display size."""
+        if not self.crop_w:
+            return self.y, self.u, self.v
+        return (self.y[:self.crop_h, :self.crop_w],
+                self.u[:self.crop_h // 2, :self.crop_w // 2],
+                self.v[:self.crop_h // 2, :self.crop_w // 2])
 
 
 class BaselineIntraDecoder:
@@ -224,9 +234,15 @@ class BaselineIntraDecoder:
         if sh.deblocking_filter_on:
             self._deblock()
 
+        s = self.sps
+        cw = ch = 0
+        if s.picture_cropping_flag:
+            cw = self.w - 2 * (s.picture_crop_left_offset + s.picture_crop_right_offset)
+            ch = self.h - 2 * (s.picture_crop_top_offset + s.picture_crop_bottom_offset)
         self.frames.append(DecodedFrame(
             self.rec_y.copy(), self.rec_u.copy(), self.rec_v.copy(),
-            poc=self.poc, slice_type=sh.slice_type, qp=sh.qp))
+            poc=self.poc, slice_type=sh.slice_type, qp=sh.qp,
+            crop_w=cw, crop_h=ch))
 
         # DPB update (pic_marking + sliding window; xeve_picman.c:57-97).
         # Marking runs when a temporal-id-0 picture arrives: all higher-tid

@@ -36,11 +36,17 @@ class EncoderParams:
 
     def validate(self):
         assert self.w > 0 and self.h > 0
-        assert self.w % 8 == 0 and self.h % 8 == 0, \
-            "non-multiple-of-8 dimensions need crop support (TODO)"
         assert 0 <= self.qp <= 51, f"qp {self.qp} out of range [0, 51]"
         assert self.codec_bit_depth in (10,)
         return self
+
+    @property
+    def w_aligned(self):
+        return (self.w + 7) & ~7
+
+    @property
+    def h_aligned(self):
+        return (self.h + 7) & ~7
 
 
 def params_from_kv(base: EncoderParams | None = None, **kv) -> EncoderParams:
