@@ -79,3 +79,17 @@ def test_decode_reference_ra_gop16_bitstream():
         assert np.array_equal(f.y, gy), f"display {i} (poc {f.poc}) luma"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+def test_picture_signature_sei_verified():
+    """Decoder verifies the MD5 picture-signature SEI when present."""
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from tests.conftest import load_yuv8
+    y8, u8, v8 = load_yuv8(os.path.join(DATA, "s96.yuv"), 96, 80, 0)
+    enc = Encoder(EncoderParams(w=96, h=80, qp=30, keyint=1,
+                                use_pic_sign=True), coder="numpy")
+    bs, _ = enc.encode_frame(y8 << 2, u8 << 2, v8 << 2)
+    d = BaselineIntraDecoder()
+    d.decode(bs)
+    assert d.signatures_checked == 1

@@ -95,10 +95,28 @@ class BaselineIntraDecoder:
                 self._decode_slice(payload, hdr.nal_unit_type,
                                    hdr.nuh_temporal_id)
             elif hdr.nal_unit_type == NUT_SEI:
-                pass
+                self._check_sei(payload)
             else:
                 pass
         return self.frames
+
+    def _check_sei(self, payload: bytes):
+        """Verify picture-signature SEI (payload type 0x10): per-plane MD5
+        of the last decoded picture (xeve_eco.c:292-322 semantics)."""
+        import hashlib
+        if len(payload) < 2 or payload[0] != 0x10 or not self.frames:
+            return
+        digests = payload[2:2 + 48]
+        if len(digests) < 48:
+            return
+        f = self.frames[-1]
+        for i, plane in enumerate((f.y, f.u, f.v)):
+            want = digests[i * 16:(i + 1) * 16]
+            got = hashlib.md5(plane.astype("<u2").tobytes()).digest()
+            if want != got:
+                raise DecodeError(
+                    f"picture-signature SEI mismatch on plane {i} (poc {f.poc})")
+        self.signatures_checked = getattr(self, "signatures_checked", 0) + 1
 
     def _setup_dims(self):
         s = self.sps
