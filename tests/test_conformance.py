@@ -93,3 +93,28 @@ def test_picture_signature_sei_verified():
     d = BaselineIntraDecoder()
     d.decode(bs)
     assert d.signatures_checked == 1
+
+
+MAIN_MIN_CASES = [
+    ("s96_mm_ai", 96, 80, 2),    # Main profile, all tools off, all-intra
+    ("s96_mm_zl", 96, 80, 6),    # Main, tools off, zerolatency LD-P (dqp areas)
+    ("s96_mm_ra", 96, 80, 20),   # Main, tools off, RA GOP16 hierarchical-B
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", MAIN_MIN_CASES)
+def test_decode_main_profile_minimal_tools(name, w, h, n):
+    """Main-profile streams with every SPS tool disabled: pins the Main
+    SPS/PPS/SH syntax (xevem_eco.c:328,436,499) and the quantization-group
+    dqp coding (cu_qp_delta_area state machine, xevem.c:73-90).  Every
+    picture carries a signature SEI which the decoder verifies."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

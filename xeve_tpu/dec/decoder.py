@@ -66,7 +66,11 @@ class DecodedFrame:
 class BaselineIntraDecoder:
     """Decodes Baseline-profile streams (I and low-delay P slices)."""
 
-    def __init__(self):
+    def __init__(self, trace=None):
+        # optional syntax trace sink (file-like); mirrors the reference's
+        # ENC_DEC_TRACE format so streams can be diffed element-by-element
+        self.trace = trace
+        self.trace_counter = 0
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[DecodedFrame] = []
@@ -90,7 +94,8 @@ class BaselineIntraDecoder:
                 self.sps = SPS.parse(BitReader(payload))
                 self._setup_dims()
             elif hdr.nal_unit_type == NUT_PPS:
-                self.pps = PPS.parse(BitReader(payload))
+                self.pps = PPS.parse(BitReader(payload),
+                                     main=self.sps.profile_idc == 1)
             elif hdr.nal_unit_type in (NUT_IDR, NUT_NONIDR):
                 self._decode_slice(payload, hdr.nal_unit_type,
                                    hdr.nuh_temporal_id)
@@ -123,8 +128,8 @@ class BaselineIntraDecoder:
         self.w = s.pic_width_in_luma_samples
         self.h = s.pic_height_in_luma_samples
         self.bd = s.bit_depth_luma_minus8 + 8
-        self.max_cuwh = 64  # Baseline CTU (128 for Main, via sps_btt)
-        self.log2_max_cuwh = 6
+        self.max_cuwh = s.max_cuwh  # 64 unless Main btt raises it
+        self.log2_max_cuwh = self.max_cuwh.bit_length() - 1
         self.w_lcu = (self.w + self.max_cuwh - 1) // self.max_cuwh
         self.h_lcu = (self.h + self.max_cuwh - 1) // self.max_cuwh
         self.w_scu = (self.w + MIN_CU_SIZE - 1) >> MIN_CU_LOG2
@@ -166,7 +171,7 @@ class BaselineIntraDecoder:
 
     def _decode_slice(self, payload: bytes, nut: int, tid: int = 0):
         br = BitReader(payload)
-        sh = SliceHeader.parse(br, nut)
+        sh = SliceHeader.parse(br, nut, self.sps, self.pps)
         # I, P and B (low-delay / random-access) slices supported
         assert br.is_byte_aligned()
         self.tid = tid
@@ -236,15 +241,17 @@ class BaselineIntraDecoder:
 
         self.sh = sh
         self.qp_prev_eco = sh.qp
+        self.dqp_is_coded = False
         qp_u = int(np.clip(sh.qp + sh.qp_u_offset, -6 * (self.sps.bit_depth_chroma_minus8), 57))
         qp_v = int(np.clip(sh.qp + sh.qp_v_offset, -6 * (self.sps.bit_depth_chroma_minus8), 57))
         self.qp_u = chroma_qp_dynamic(qp_u) + 6 * self.sps.bit_depth_chroma_minus8
         self.qp_v = chroma_qp_dynamic(qp_v) + 6 * self.sps.bit_depth_chroma_minus8
         self.qp_y = sh.qp + 6 * self.sps.bit_depth_luma_minus8
 
+        lg = self.log2_max_cuwh
         for lcu_y in range(self.h_lcu):
             for lcu_x in range(self.w_lcu):
-                self._decode_tree(sbac, ctx, lcu_x << 6, lcu_y << 6,
+                self._decode_tree(sbac, ctx, lcu_x << lg, lcu_y << lg,
                                   self.max_cuwh, self.max_cuwh)
         tile_end = sbac.decode_bin_trm()
         assert tile_end == 1
@@ -281,8 +288,18 @@ class BaselineIntraDecoder:
         }
         self.dpb.append(pic)
 
+    def _tr(self, text: str):
+        if self.trace is not None:
+            self.trace.write(f"{self.trace_counter} \t{text}\n")
+            self.trace_counter += 1
+
+    def _tr_raw(self, text: str):
+        if self.trace is not None:
+            self.trace.write(text + "\n")
+
     # -- CTU tree -----------------------------------------------------------
-    def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh):
+    def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh,
+                     cud=0, dqp_code=0):
         in_bounds = (x0 + cuw <= self.w) and (y0 + cuh <= self.h)
         if cuw < 8 and cuh < 8:
             split = 0
@@ -290,15 +307,31 @@ class BaselineIntraDecoder:
             # Baseline (no BTT): split flag coded at every node >= 8,
             # including boundary nodes (xeve_enc.c:56-58, xeve_eco.c:1377)
             split = sbac.decode_bin(ctx.split_cu_flag, 0)
+            self._tr(f"x pos {x0} y pos {y0} width {cuw} height {cuh} "
+                     f"depth {cud} split mode {5 if split else 0} ")
+        # quantization-group state machine (xevem.c:73-90): a CU whose
+        # area reaches cu_qp_delta_area starts its own group (code 1);
+        # a split node exactly at the area starts a shared group (code 2)
+        # whose first coefficient-bearing CU codes the single dqp
+        if (self.pps.cu_qp_delta_enabled_flag and self.sps.dquant_flag):
+            lw, lh = cuw.bit_length() - 1, cuh.bit_length() - 1
+            area = self.pps.cu_qp_delta_area
+            if split == 0 and lw + lh >= area and dqp_code != 2:
+                dqp_code = 2 if (lw == 7 or lh == 7) else 1
+                self.dqp_is_coded = False
+            elif split != 0 and lw + lh == area and dqp_code != 2:
+                dqp_code = 2
+                self.dqp_is_coded = False
         if split:
             half = cuw >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
                 xp, yp = x0 + dx, y0 + dy
                 if xp < self.w and yp < self.h:
-                    self._decode_tree(sbac, ctx, xp, yp, half, half)
+                    self._decode_tree(sbac, ctx, xp, yp, half, half, cud + 2,
+                                      dqp_code)
         else:
             assert in_bounds, "leaf CU crossing the picture boundary"
-            self._decode_cu(sbac, ctx, x0, y0, cuw, cuh)
+            self._decode_cu(sbac, ctx, x0, y0, cuw, cuh, dqp_code)
 
     # -- CU decode ----------------------------------------------------------
     def _get_mpm_inv(self, x_scu, y_scu):
@@ -330,6 +363,8 @@ class BaselineIntraDecoder:
             last = sbac.decode_bin(ctx.last, ctx_last)
             if last:
                 break
+        if self.trace is not None:
+            self._tr_raw("coef luma " + "".join(f"{v} " for v in coef))
         return coef.reshape(h, w)
 
     def _mvp_list(self, x_scu, y_scu, scuw, scuh, lidx):
@@ -361,10 +396,13 @@ class BaselineIntraDecoder:
                sdiv(-dpoc_l1 * int(mvc[1]), dpoc_co))
         return mv0, mv1
 
-    def _decode_cu(self, sbac: SbacDecoder, ctx: SbacCtx, x, y, cuw, cuh):
+    def _decode_cu(self, sbac: SbacDecoder, ctx: SbacCtx, x, y, cuw, cuh,
+                   dqp_code=0):
         x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
         scuw, scuh = cuw >> MIN_CU_LOG2, cuh >> MIN_CU_LOG2
         slice_type = self.sh.slice_type
+        self._tr(f"poc: {self.poc} x pos {x} y pos {y} "
+                 f"width {cuw} height {cuh} ")
 
         skip = 0
         mode_intra = True
@@ -373,24 +411,29 @@ class BaselineIntraDecoder:
         is_b = slice_type == 0  # SLICE_B
         if slice_type != SLICE_I:
             skip = sbac.decode_bin(ctx.skip_flag, 0)  # ctx 0 (cm_init off)
+            self._tr(f"skip flag {skip} ctx 0 ")
             if skip:
                 mode_intra = False
                 idx0 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                self._tr(f"mvp idx {idx0} ")
                 mvp0 = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
                 refi[0] = 0
                 mv[0] = (int(mvp0[idx0][0]), int(mvp0[idx0][1]))
                 if is_b:
                     idx1 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                    self._tr(f"mvp idx {idx1} ")
                     mvp1 = self._mvp_list(x_scu, y_scu, scuw, scuh, 1)
                     refi[1] = 0
                     mv[1] = (int(mvp1[idx1][0]), int(mvp1[idx1][1]))
             else:
                 pred_intra = sbac.decode_bin(ctx.pred_mode, 0)
+                self._tr(f"pred mode {0 if pred_intra else 1} ")
                 mode_intra = bool(pred_intra)
                 if not mode_intra:
                     direct = 0
                     if is_b:
                         direct = sbac.decode_bin(ctx.direct_mode_flag, 0)
+                        self._tr(f"direct_mode_flag {direct} ")
                     if direct:
                         mv0d, mv1d = self._mv_dir(x_scu + scuw - 1,
                                                   y_scu + scuh - 1)
@@ -404,6 +447,7 @@ class BaselineIntraDecoder:
                                 pred_dir = 2
                             else:
                                 pred_dir = 1 if sbac.decode_bin(ctx.inter_dir, 1) else 0
+                            self._tr(f"inter dir {pred_dir} ")
                         for lidx in (0, 1):
                             use = (lidx == 0 and pred_dir in (0, 2)) or \
                                   (lidx == 1 and pred_dir in (1, 2))
@@ -414,7 +458,9 @@ class BaselineIntraDecoder:
                             if len(refs) > 1:
                                 r = self._decode_refi(sbac, ctx, len(refs))
                             idx = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
+                            self._tr(f"mvp idx {idx} ")
                             mvd = self._decode_mvd(sbac, ctx)
+                            self._tr(f"mvd x {mvd[0]} mvd y {mvd[1]} ")
                             mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, lidx)
                             refi[lidx] = r
                             mv[lidx] = (int(mvp[idx][0] + mvd[0]),
@@ -424,36 +470,57 @@ class BaselineIntraDecoder:
         if mode_intra:
             rank = sbac.read_unary_sym(ctx.intra_dir, 0, 2)
             ipm = int(self._get_mpm_inv(x_scu, y_scu)[rank])
+            self._tr(f"ipm Y {ipm} ")
 
+        cbf_all = 1
         if skip:
             cbf_y = cbf_u = cbf_v = 0
         elif mode_intra:
             # cbf (intra branch of xeve_eco_cbf, xeve_eco.c:866-891)
             cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+            self._tr(f"cbf U {cbf_u} ")
             cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+            self._tr(f"cbf V {cbf_v} ")
             cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+            self._tr(f"cbf Y {cbf_y} ")
         else:
             # inter branch: cbf_all then per-component (xeve_eco.c:813-864)
             cbf_all = sbac.decode_bin(ctx.cbf_all, 0)
+            self._tr(f"all_cbf {cbf_all} ")
             if cbf_all == 0:
                 cbf_y = cbf_u = cbf_v = 0
             else:
                 cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+                self._tr(f"cbf U {cbf_u} ")
                 cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+                self._tr(f"cbf V {cbf_v} ")
                 if cbf_u + cbf_v != 0:
                     cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+                    self._tr(f"cbf Y {cbf_y} ")
                 else:
                     cbf_y = 1   # inferred
 
-        if (not skip) and self.pps.cu_qp_delta_enabled_flag and (cbf_y or cbf_u or cbf_v):
+        # dqp coding condition (xevem_eco.c:1386-1395; baseline xeve_eco.c:995)
+        read_dqp = False
+        if (not skip) and self.pps.cu_qp_delta_enabled_flag:
+            inter_all_zero = (not mode_intra) and cbf_all == 0
+            if not inter_all_zero:
+                cbf_for_dqp = bool(cbf_y or cbf_u or cbf_v)
+                if ((((not self.sps.dquant_flag) or
+                      (dqp_code == 1 and not self.dqp_is_coded)) and cbf_for_dqp)
+                        or (dqp_code == 2 and not self.dqp_is_coded)):
+                    read_dqp = True
+        if read_dqp:
             abs_dqp = sbac.read_unary_sym(ctx.delta_qp, 0, 1)
             if abs_dqp > 0:
                 sign = sbac.decode_bin_ep()
                 dqp = -abs_dqp if sign else abs_dqp
             else:
                 dqp = 0
+            self._tr(f"dqp {dqp} ")
             qp = self.qp_prev_eco + dqp
             self.qp_prev_eco = qp
+            self.dqp_is_coded = True
         else:
             qp = self.qp_prev_eco
         qp_y = qp + 6 * self.sps.bit_depth_luma_minus8
