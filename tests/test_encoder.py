@@ -67,3 +67,25 @@ def test_arbitrary_resolution_with_crop():
     assert np.array_equal(f.y, ry)
     dy, du, dv = f.display()
     assert dy.shape == (70, 90)
+
+
+def test_main_profile_roundtrip():
+    """Our encoder can emit Main-profile streams (tool flags all off); the
+    conformance decoder round-trips them bit-exactly incl. signature SEI."""
+    import numpy as np
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    from tests.conftest import DATA, load_yuv8
+    import os
+    y, u, v = load_yuv8(os.path.join(DATA, "s96.yuv"), 96, 80, 0)
+    enc = Encoder(EncoderParams(w=96, h=80, qp=30, keyint=1, profile=1,
+                                use_pic_sign=True))
+    bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+    dec = BaselineIntraDecoder()
+    frames = dec.decode(bs)
+    assert dec.sps.profile_idc == 1 and dec.sps.dquant_flag == 1
+    assert dec.signatures_checked == 1
+    assert np.array_equal(frames[0].y, ry)
+    assert np.array_equal(frames[0].u, ru)
+    assert np.array_equal(frames[0].v, rv)

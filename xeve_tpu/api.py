@@ -70,6 +70,9 @@ class Encoder:
             max_num_ref_pics=1,
             log2_sub_gop_length=4 if p.bframes >= 15 else 0,
             log2_ref_pic_gap_length=0,
+            # main profile always signals dquant (xevem_util.c:3196); our
+            # PPS keeps cu_qp_delta off so the payload stays identical
+            dquant_flag=1 if p.profile == 1 else 0,
         )
 
     def _make_pps(self) -> PPS:
@@ -83,7 +86,7 @@ class Encoder:
         out += wrap_nal(bw.get_bytes())
         bw = BitWriter()
         NalHeader(NUT_PPS, 0).write(bw)
-        self.pps.write(bw)
+        self.pps.write(bw, main=self.sps.profile_idc == 1)
         out += wrap_nal(bw.get_bytes())
         return out
 
@@ -178,7 +181,7 @@ class Encoder:
                          deblocking_filter_on=1 if p.use_deblock else 0)
         bw = BitWriter()
         NalHeader(nut, 0).write(bw)
-        sh.write(bw, nut)
+        sh.write(bw, nut, self.sps, self.pps)
         sh_bytes = bw.get_bytes()
 
         if self.coder_engine == "native":
@@ -256,7 +259,7 @@ class Encoder:
                          deblocking_filter_on=1 if p.use_deblock else 0)
         bw = BitWriter()
         NalHeader(NUT_NONIDR, 0).write(bw)
-        sh.write(bw, NUT_NONIDR)
+        sh.write(bw, NUT_NONIDR, self.sps, self.pps)
         sbac = SbacEncoder()
         ctx = SbacCtx()
         fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,
@@ -332,7 +335,7 @@ class Encoder:
                                  deblocking_filter_on=1 if p.use_deblock else 0)
                 bw = BitWriter()
                 NalHeader(nut, 0).write(bw)
-                sh.write(bw, nut)
+                sh.write(bw, nut, self.sps, self.pps)
                 slice_payload, bin_count, rec_y, rec_u, rec_v = \
                     encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                               p.qp_cb_offset, p.qp_cr_offset,
@@ -495,7 +498,7 @@ class GopEncoder(Encoder):
                          deblocking_filter_on=1 if p.use_deblock else 0)
         bw = BitWriter()
         NalHeader(nut, tid).write(bw)
-        sh.write(bw, nut)
+        sh.write(bw, nut, self.sps, self.pps)
         sbac = SbacEncoder()
         ctx = SbacCtx()
         fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,

@@ -28,7 +28,8 @@ def main():
     ap.add_argument("-I", "--keyint", type=int, default=0,
                     help="0: first frame I only; 1: all-intra; N: I every N")
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
-    ap.add_argument("--profile", default="baseline", choices=("baseline",))
+    ap.add_argument("--profile", default="baseline",
+                    choices=("baseline", "main"))
     ap.add_argument("--no-deblock", action="store_true")
     ap.add_argument("--no-rdoq", action="store_true")
     ap.add_argument("--hash", action="store_true",
@@ -56,6 +57,7 @@ def main():
 
     enc = Encoder(EncoderParams(
         w=w, h=h, qp=args.qp, keyint=args.keyint,
+        profile=1 if args.profile == "main" else 0,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
         use_pic_sign=args.hash), analysis=analysis, coder=args.coder)
 
