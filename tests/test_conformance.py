@@ -118,3 +118,28 @@ def test_decode_main_profile_minimal_tools(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+EIPD_CASES = [
+    ("s96_eipd_ai", 96, 80, 2),
+    ("s96_eipd_zl", 96, 80, 6),
+    ("s96_eipd_ra", 96, 80, 20),
+    ("cif_eipd_ai", 352, 288, 2),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", EIPD_CASES)
+def test_decode_main_profile_eipd(name, w, h, n):
+    """Main profile with EIPD: 33 luma intra modes (4-tap ADI angular,
+    plane, bilinear, LUT-division DC), MPM/extended-MPM/ranked-mode
+    signalling, 5-mode chroma direction (xevem_ipred.c, xevem_eco.c:1541)."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

@@ -30,6 +30,7 @@ from ..entropy.sbac import SbacDecoder, SbacCtx
 from ..ops import reference_kernels as rk
 from ..ops import mc_np
 from ..ops import motion_np
+from ..ops import intra_main_np as im
 
 # rank -> ipm inverse of MPM table
 MPM_INV = np.zeros_like(MPM_TBL)
@@ -467,7 +468,42 @@ class BaselineIntraDecoder:
                                         int(mvp[idx][1] + mvd[1]))
 
         ipm = 0
-        if mode_intra:
+        ipm_c = 0
+        if mode_intra and self.sps.tool_eipd:
+            # EIPD luma direction (xevem_eco_intra_dir, xevem_eco.c:1541)
+            mpm, ext, pims = im.get_mpm_main(
+                x_scu, y_scu, scuw, self.map_cod, self.map_if,
+                self.map_ipm, self.w_scu)
+            if sbac.decode_bin(ctx.intra_luma_pred_mpm_flag, 0):
+                ipm = mpm[sbac.decode_bin(ctx.intra_luma_pred_mpm_idx, 0)]
+            elif sbac.decode_bin_ep():
+                fl = sbac.decode_bins_ep(3)
+                ipm = ext[fl]
+            else:
+                # truncated binary over the 23 remaining ranks
+                val, b = 16, (im.IPD_CNT - 10) - 16
+                t = sbac.decode_bins_ep(4)
+                if t < val - b:
+                    rank = t
+                else:
+                    rank = ((t << 1) | sbac.decode_bin_ep()) - (val - b)
+                ipm = pims[rank + 10]
+            self._tr(f"ipm Y {ipm} ")
+            # chroma direction (xevem_eco_intra_dir_c, xevem_eco.c:1598)
+            if sbac.decode_bin(ctx.intra_chroma_pred_mode, 0):
+                ipm_c = im.IPD_DM_C
+            else:
+                # unary EP capped at IPD_CHROMA_CNT-1 bins (xevem_eco.c:45)
+                remain = 0
+                while (remain < im.IPD_CHROMA_CNT - 1 and
+                       sbac.decode_bin_ep()):
+                    remain += 1
+                ipm_l_conv, chk = im.conv_luma_to_chroma(ipm)
+                ipm_c = remain + 1
+                if chk and ipm_c >= ipm_l_conv:
+                    ipm_c += 1
+            self._tr(f"ipm UV {ipm_c} ")
+        elif mode_intra:
             rank = sbac.read_unary_sym(ctx.intra_dir, 0, 2)
             ipm = int(self._get_mpm_inv(x_scu, y_scu)[rank])
             self._tr(f"ipm Y {ipm} ")
@@ -541,7 +577,7 @@ class BaselineIntraDecoder:
         # reconstruct
         if mode_intra:
             self._recon_intra_cu(x, y, cuw, cuh, ipm, qp_y, qp_u, qp_v,
-                                 coef_y, coef_u, coef_v)
+                                 coef_y, coef_u, coef_v, ipm_c)
         else:
             self._recon_inter_cu(x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                                  coef_y, coef_u, coef_v)
@@ -681,13 +717,20 @@ class BaselineIntraDecoder:
         return up, left, up_left
 
     def _recon_intra_cu(self, x, y, cuw, cuh, ipm, qp_y, qp_u, qp_v,
-                        coef_y, coef_u, coef_v):
+                        coef_y, coef_u, coef_v, ipm_c=0):
         bd = self.bd
         x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
+        eipd = bool(self.sps.tool_eipd)
         # luma
-        up, left, ul = self.gather_nb(self.rec_y, x, y, cuw, cuh,
-                                      x_scu, y_scu, MIN_CU_SIZE, 1)
-        pred = rk.ipred(ipm, up, left, ul, cuw, cuh)
+        if eipd:
+            nb = im.get_nbr_main(self.rec_y, x, y, cuw, cuh, x_scu, y_scu,
+                                 self.map_cod, self.w_scu, self.h_scu,
+                                 MIN_CU_SIZE, bd)
+            pred = im.ipred_main(ipm, nb, cuw, cuh, bd)
+        else:
+            up, left, ul = self.gather_nb(self.rec_y, x, y, cuw, cuh,
+                                          x_scu, y_scu, MIN_CU_SIZE, 1)
+            pred = rk.ipred(ipm, up, left, ul, cuw, cuh)
         resi = None
         if coef_y is not None:
             resi = rk.inverse_dct2(rk.dequant(coef_y, qp_y, bd), bd)
@@ -697,9 +740,16 @@ class BaselineIntraDecoder:
         wc, hc = cuw >> 1, cuh >> 1
         for plane, coef, qp_c in ((self.rec_u, coef_u, qp_u),
                                   (self.rec_v, coef_v, qp_v)):
-            up, left, ul = self.gather_nb(plane, xc, yc, wc, hc,
-                                          x_scu, y_scu, MIN_CU_SIZE >> 1, 1)
-            pred = rk.ipred(ipm, up, left, ul, wc, hc)
+            if eipd:
+                nb = im.get_nbr_main(plane, xc, yc, wc, hc, x_scu, y_scu,
+                                     self.map_cod, self.w_scu, self.h_scu,
+                                     MIN_CU_SIZE >> 1, bd)
+                pred = im.ipred_uv_main(ipm_c, ipm, nb, wc, hc, bd)
+            else:
+                up, left, ul = self.gather_nb(plane, xc, yc, wc, hc,
+                                              x_scu, y_scu,
+                                              MIN_CU_SIZE >> 1, 1)
+                pred = rk.ipred(ipm, up, left, ul, wc, hc)
             resi = None
             if coef is not None:
                 resi = rk.inverse_dct2(rk.dequant(coef, qp_c, bd), bd)

@@ -25,9 +25,14 @@ class SbacCtx:
         "skip_flag", "direct_mode_flag", "inter_dir", "intra_dir", "pred_mode",
         "refi", "mvp_idx", "mvd", "cbf_all", "cbf_luma", "cbf_cb", "cbf_cr",
         "run", "last", "level", "split_cu_flag", "delta_qp",
+        "intra_luma_pred_mpm_flag", "intra_luma_pred_mpm_idx",
+        "intra_chroma_pred_mode",
     )
 
     def __init__(self):
+        self.intra_luma_pred_mpm_flag = ctx_array(1)
+        self.intra_luma_pred_mpm_idx = ctx_array(1)
+        self.intra_chroma_pred_mode = ctx_array(1)
         self.skip_flag = ctx_array(2)
         self.direct_mode_flag = ctx_array(1)
         self.inter_dir = ctx_array(2)
