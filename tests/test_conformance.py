@@ -143,3 +143,27 @@ def test_decode_main_profile_eipd(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+CMI_CASES = [
+    ("s96_cmi_ai", 96, 80, 2),
+    ("s96_cmi_zl", 96, 80, 6),
+    ("s96_cmi_ra", 96, 80, 20),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", CMI_CASES)
+def test_decode_main_profile_cm_init(name, w, h, n):
+    """Main profile with CM_INIT (+EIPD): QP/slice-type-adaptive context
+    initialization (xevem_util.c:2755), neighbour-derived skip/pred-mode
+    context selection, level-adaptive run/level context groups."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

@@ -222,7 +222,7 @@ class BaselineIntraDecoder:
                 self.refp = build(past, future)
                 self.refp1 = build(future, past)
         sbac = SbacDecoder(payload, br.byte_pos)
-        ctx = SbacCtx()
+        ctx = SbacCtx(sh.slice_type, sh.qp, self.sps.tool_cm_init)
 
         w, h, bd = self.w, self.h, self.bd
         mid = 1 << (bd - 1)
@@ -233,6 +233,7 @@ class BaselineIntraDecoder:
         # SCU maps
         self.map_cod = np.zeros((self.h_scu, self.w_scu), dtype=bool)
         self.map_if = np.zeros((self.h_scu, self.w_scu), dtype=bool)
+        self.map_skip = np.zeros((self.h_scu, self.w_scu), dtype=bool)
         self.map_ipm = np.full((self.h_scu, self.w_scu), -1, dtype=np.int32)
         self.map_qp = np.full((self.h_scu, self.w_scu), sh.qp, dtype=np.int32)
         self.map_cbf_l = np.zeros((self.h_scu, self.w_scu), dtype=bool)
@@ -350,12 +351,18 @@ class BaselineIntraDecoder:
         scan = SCAN[(w, h)]
         num_coeff = w * h
         scan_pos = 0
-        t0 = 0 if ch_type == 0 else 2  # sps_cm_init_flag == 0
+        cm = ctx.cm_init
+        prev_level = 6
         ctx_last = 0 if ch_type == 0 else 1
         while scan_pos < num_coeff:
+            if cm:   # level-adaptive ctx group (xeve_eco.c:730)
+                t0 = (min(prev_level - 1, 5) << 1) + (0 if ch_type == 0 else 12)
+            else:
+                t0 = 0 if ch_type == 0 else 2
             run = sbac.read_unary_sym(ctx.run, t0, 2)
             scan_pos += run
             level = sbac.read_unary_sym(ctx.level, t0, 2) + 1
+            prev_level = level
             sign = sbac.decode_bin_ep()
             coef[scan[scan_pos]] = -level if sign else level
             if scan_pos == num_coeff - 1:
@@ -397,6 +404,29 @@ class BaselineIntraDecoder:
                sdiv(-dpoc_l1 * int(mvc[1]), dpoc_co))
         return mv0, mv1
 
+    def _ctx_flags(self, x_scu, y_scu, scuw, scuh):
+        """Neighbour-derived context indices for skip_flag / pred_mode
+        (xeve_get_ctx_some_flags, xeve_util.c:1181).  Zero unless
+        sps_cm_init_flag."""
+        if not self.sps.tool_cm_init:
+            return 0, 0
+        pos = []
+        if y_scu > 0:
+            pos.append((y_scu - 1, x_scu))
+        if x_scu > 0:
+            pos.append((y_scu + scuh - 1, x_scu - 1))
+        if x_scu + scuw < self.w_scu:
+            pos.append((y_scu + scuh - 1, x_scu + scuw))
+        sf = ifl = avail = 0
+        for (yy, xx) in pos:
+            if self.map_cod[yy, xx]:
+                avail += 1
+                sf += int(self.map_skip[yy, xx])
+                ifl += int(self.map_if[yy, xx])
+        if avail == 0:
+            return 0, 0
+        return min(sf, 1), min(ifl, 2)   # NUM_CTX_SKIP_FLAG-1, PRED_MODE-1
+
     def _decode_cu(self, sbac: SbacDecoder, ctx: SbacCtx, x, y, cuw, cuh,
                    dqp_code=0):
         x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
@@ -410,9 +440,10 @@ class BaselineIntraDecoder:
         refi = [-1, -1]
         mv = [(0, 0), (0, 0)]
         is_b = slice_type == 0  # SLICE_B
+        ctx_skip, ctx_pred = self._ctx_flags(x_scu, y_scu, scuw, scuh)
         if slice_type != SLICE_I:
-            skip = sbac.decode_bin(ctx.skip_flag, 0)  # ctx 0 (cm_init off)
-            self._tr(f"skip flag {skip} ctx 0 ")
+            skip = sbac.decode_bin(ctx.skip_flag, ctx_skip)
+            self._tr(f"skip flag {skip} ctx {ctx_skip} ")
             if skip:
                 mode_intra = False
                 idx0 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
@@ -427,7 +458,7 @@ class BaselineIntraDecoder:
                     refi[1] = 0
                     mv[1] = (int(mvp1[idx1][0]), int(mvp1[idx1][1]))
             else:
-                pred_intra = sbac.decode_bin(ctx.pred_mode, 0)
+                pred_intra = sbac.decode_bin(ctx.pred_mode, ctx_pred)
                 self._tr(f"pred mode {0 if pred_intra else 1} ")
                 mode_intra = bool(pred_intra)
                 if not mode_intra:
@@ -587,6 +618,7 @@ class BaselineIntraDecoder:
         hs, ws = cuh >> MIN_CU_LOG2, cuw >> MIN_CU_LOG2
         self.map_cod[ys:ys + hs, xs:xs + ws] = True
         self.map_if[ys:ys + hs, xs:xs + ws] = mode_intra
+        self.map_skip[ys:ys + hs, xs:xs + ws] = bool(skip)
         self.map_ipm[ys:ys + hs, xs:xs + ws] = ipm if mode_intra else 0
         self.map_qp[ys:ys + hs, xs:xs + ws] = qp
         self.map_cbf_l[ys:ys + hs, xs:xs + ws] = bool(cbf_y)

@@ -18,6 +18,30 @@ def ctx_array(n: int) -> list[int]:
     return [PROB_INIT] * n
 
 
+def ctx_init_model(init_value: int, qp: int) -> int:
+    """QP-adaptive context init (sps_cm_init_flag==1), the slope/offset
+    decode of xeve_eco_sbac_ctx_initialize (xevem_util.c:2755)."""
+    qp = min(max(qp, 0), 51)
+    slope = (init_value & 14) << 4
+    if init_value & 1:
+        slope = -slope
+    offset = ((init_value >> 4) & 62) << 7
+    if (init_value >> 4) & 1:
+        offset = -offset
+    offset += 4096
+    state = min(max((slope * qp + offset) >> 4, 1), 511)
+    if state > 256:
+        return ((512 - state) << 1) | 0
+    return (state << 1) | 1
+
+
+def ctx_array_init(name: str, n: int, slice_type, slice_qp) -> list[int]:
+    from .ctx_init import CTX_INIT
+    row = CTX_INIT[name][1 if slice_type in (0, 1) else 0]  # row1: P/B
+    assert len(row) == n, f"{name}: table {len(row)} != {n}"
+    return [ctx_init_model(v, slice_qp) for v in row]
+
+
 class SbacCtx:
     """Context model set for the Baseline syntax (one instance per tile)."""
 
@@ -26,30 +50,41 @@ class SbacCtx:
         "refi", "mvp_idx", "mvd", "cbf_all", "cbf_luma", "cbf_cb", "cbf_cr",
         "run", "last", "level", "split_cu_flag", "delta_qp",
         "intra_luma_pred_mpm_flag", "intra_luma_pred_mpm_idx",
-        "intra_chroma_pred_mode",
+        "intra_chroma_pred_mode", "cm_init",
     )
 
-    def __init__(self):
-        self.intra_luma_pred_mpm_flag = ctx_array(1)
-        self.intra_luma_pred_mpm_idx = ctx_array(1)
-        self.intra_chroma_pred_mode = ctx_array(1)
-        self.skip_flag = ctx_array(2)
-        self.direct_mode_flag = ctx_array(1)
-        self.inter_dir = ctx_array(2)
-        self.intra_dir = ctx_array(2)
-        self.pred_mode = ctx_array(3)
-        self.refi = ctx_array(2)
-        self.mvp_idx = ctx_array(3)
-        self.mvd = ctx_array(1)
-        self.cbf_all = ctx_array(1)
-        self.cbf_luma = ctx_array(1)
-        self.cbf_cb = ctx_array(1)
-        self.cbf_cr = ctx_array(1)
-        self.run = ctx_array(24)
-        self.last = ctx_array(2)
-        self.level = ctx_array(24)
-        self.split_cu_flag = ctx_array(1)
-        self.delta_qp = ctx_array(1)
+    # field -> (init-table name, context count)
+    _SPEC = {
+        "intra_luma_pred_mpm_flag": ("intra_luma_pred_mpm_flag", 1),
+        "intra_luma_pred_mpm_idx": ("intra_luma_pred_mpm_idx", 1),
+        "intra_chroma_pred_mode": ("intra_chroma_pred_mode", 1),
+        "skip_flag": ("skip_flag", 2),
+        "direct_mode_flag": ("direct_mode_flag", 1),
+        "inter_dir": ("inter_dir", 2),
+        "intra_dir": ("intra_dir", 2),
+        "pred_mode": ("pred_mode", 3),
+        "refi": ("refi", 2),
+        "mvp_idx": ("mvp_idx", 3),
+        "mvd": ("mvd", 1),
+        "cbf_all": ("cbf_all", 1),
+        "cbf_luma": ("cbf_luma", 1),
+        "cbf_cb": ("cbf_cb", 1),
+        "cbf_cr": ("cbf_cr", 1),
+        "run": ("run", 24),
+        "last": ("last", 2),
+        "level": ("level", 24),
+        "split_cu_flag": ("split_cu_flag", 1),
+        "delta_qp": ("dqp", 1),
+    }
+
+    def __init__(self, slice_type=None, slice_qp=0, cm_init=0):
+        for field, (tbl, n) in self._SPEC.items():
+            if cm_init:
+                setattr(self, field,
+                        ctx_array_init(tbl, n, slice_type, slice_qp))
+            else:
+                setattr(self, field, ctx_array(n))
+        self.cm_init = cm_init
 
 
 def model_update(model: int, bin_is_mps: bool) -> int:
