@@ -268,7 +268,7 @@ enum SAD_POINT_INDEX
 #define TRACE_ENC_CU_DATA_CHECK            0 ///< Trace CU index on encoder
 #define MVF_TRACE                          0 ///< use for tracing MVF
 #define TRACE_ENC_HISTORIC                 0
-#define TRACE_COEFFS                       0 ///< Trace coefficients
+#define TRACE_COEFFS                       1 ///< Trace coefficients
 #define TRACE_RDO                          0 //!< Trace only encode stream (0), only RDO (1) or all of them (2)
 #define TRACE_BIN                          0 //!< trace each bin
 #define TRACE_START_POC                    0 //!< POC of frame from which we start to write output tracing information

@@ -167,3 +167,28 @@ def test_decode_main_profile_cm_init(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+ADCC_CASES = [
+    ("s96_adcc_ai", 96, 80, 2),
+    ("s96_adcc_zl", 96, 80, 6),
+    ("s96_adcc_ra", 96, 80, 20),
+    ("cif_adcc_ai", 352, 288, 2),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", ADCC_CASES)
+def test_decode_main_profile_adcc(name, w, h, n):
+    """Main profile with ADCC (+cm_init +eipd): sig-map/gtA/gtB/Golomb-Rice
+    coefficient coding with template contexts and context-coded last
+    position (xevem_eco.c:1042-1277, xevem_util.c:2579-2750)."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

@@ -222,6 +222,8 @@ class BaselineIntraDecoder:
                 self.refp = build(past, future)
                 self.refp1 = build(future, past)
         sbac = SbacDecoder(payload, br.byte_pos)
+        if self.trace is not None and getattr(self, "trace_bins", False):
+            sbac.trace_hook = self._tr
         ctx = SbacCtx(sh.slice_type, sh.qp, self.sps.tool_cm_init)
 
         w, h, bd = self.w, self.h, self.bd
@@ -346,6 +348,14 @@ class BaselineIntraDecoder:
         return MPM_INV[ipm_l, ipm_u]
 
     def _decode_coef_block(self, sbac: SbacDecoder, ctx: SbacCtx, w, h, ch_type):
+        """Coefficient decode: ADCC (Main) or run-length (Baseline)."""
+        if self.sps.tool_adcc:
+            from ..entropy import adcc
+            return adcc.decode_block(sbac, ctx, w, h, ch_type)
+        return self._decode_coef_block_rl(sbac, ctx, w, h, ch_type)
+
+    def _decode_coef_block_rl(self, sbac: SbacDecoder, ctx: SbacCtx, w, h,
+                              ch_type):
         """xeve_eco_run_length_cc inverse."""
         coef = np.zeros(w * h, dtype=np.int32)
         scan = SCAN[(w, h)]

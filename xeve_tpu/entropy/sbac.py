@@ -51,6 +51,8 @@ class SbacCtx:
         "run", "last", "level", "split_cu_flag", "delta_qp",
         "intra_luma_pred_mpm_flag", "intra_luma_pred_mpm_idx",
         "intra_chroma_pred_mode", "cm_init",
+        "sig_coeff_flag", "coeff_abs_level_greaterAB_flag",
+        "last_sig_coeff_x_prefix", "last_sig_coeff_y_prefix",
     )
 
     # field -> (init-table name, context count)
@@ -75,6 +77,12 @@ class SbacCtx:
         "level": ("level", 24),
         "split_cu_flag": ("split_cu_flag", 1),
         "delta_qp": ("dqp", 1),
+        # ADCC (sig map + gtA/gtB + last position)
+        "sig_coeff_flag": ("sig_coeff_flag", 47),
+        "coeff_abs_level_greaterAB_flag":
+            ("coeff_abs_level_greaterAB_flag", 18),
+        "last_sig_coeff_x_prefix": ("last_sig_coeff_x_prefix", 21),
+        "last_sig_coeff_y_prefix": ("last_sig_coeff_y_prefix", 21),
     }
 
     def __init__(self, slice_type=None, slice_qp=0, cm_init=0):
@@ -264,6 +272,7 @@ class SbacDecoder:
         self.bit_pos = 0
         self.range = 16384
         self.value = 0
+        self.trace_hook = None   # optional per-bin trace (TRACE_BIN parity)
         for _ in range(14):
             self.value = (self.value << 1) | self._read_bit()
 
@@ -287,6 +296,8 @@ class SbacDecoder:
         if lps < 437:
             lps = 437
         self.range -= lps
+        if self.trace_hook is not None:
+            self.trace_hook(f"model {model} range {self.range} lps {lps} ")
         if self.value >= self.range:
             bin_val = 1 - mps
             self.value -= self.range
