@@ -192,3 +192,27 @@ def test_decode_main_profile_adcc(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+IQT_CASES = [
+    ("s96_iqt_ai", 96, 80, 2),
+    ("s96_iqt_zl", 96, 80, 6),
+    ("s96_iqt_ra", 96, 80, 20),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", IQT_CASES)
+def test_decode_main_profile_iqt(name, w, h, n):
+    """Main profile with IQT (+adcc+cm_init+eipd): per-stage rounded
+    16-bit inverse transform, main dequant scale table, main chroma QP
+    mapping incl. the deblocking path (xevem_itdq.c:551, xevem_tbl.c:53,102)."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

@@ -81,12 +81,28 @@ QP_CHROMA_ADJUST = np.array(
     dtype=np.int32)
 
 
-def chroma_qp_dynamic(qp: int) -> int:
+# Main-profile chroma QP mapping, selected when tool_iqt is on
+# (xevem_tbl.c:102 xevem_tbl_qp_chroma_ajudst; chosen at xevem_util.c:3115)
+QP_CHROMA_ADJUST_MAIN = np.array(
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+     10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+     20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+     29, 30, 31, 32, 33, 34, 35, 36, 37, 37,
+     38, 39, 40, 40, 41, 42, 43, 44, 45, 46,
+     47, 48, 49, 50, 51, 52, 53, 54],
+    dtype=np.int32)
+
+# IQT dequant scales (xevem_tbl.c:53); baseline differs only at qp%6==5
+DQUANT_SCALE_MAIN = np.array([40, 45, 51, 57, 64, 72], dtype=np.int64)
+
+
+def chroma_qp_dynamic(qp: int, main: int = 0) -> int:
     """Chroma QP from (clipped) luma-derived index; negative indices map to 0
     padding as in the reference's qp_chroma_dynamic_ext layout."""
     if qp < 0:
         return 0
-    return int(QP_CHROMA_ADJUST[qp])
+    tbl = QP_CHROMA_ADJUST_MAIN if main else QP_CHROMA_ADJUST
+    return int(tbl[qp])
 
 # ---------------------------------------------------------------------------
 # Deblocking strength table st[idx][qp] (xeve_tbl.c:239 xeve_tbl_df_st[4][52])

@@ -248,8 +248,9 @@ class BaselineIntraDecoder:
         self.dqp_is_coded = False
         qp_u = int(np.clip(sh.qp + sh.qp_u_offset, -6 * (self.sps.bit_depth_chroma_minus8), 57))
         qp_v = int(np.clip(sh.qp + sh.qp_v_offset, -6 * (self.sps.bit_depth_chroma_minus8), 57))
-        self.qp_u = chroma_qp_dynamic(qp_u) + 6 * self.sps.bit_depth_chroma_minus8
-        self.qp_v = chroma_qp_dynamic(qp_v) + 6 * self.sps.bit_depth_chroma_minus8
+        iqt = self.sps.tool_iqt
+        self.qp_u = chroma_qp_dynamic(qp_u, iqt) + 6 * self.sps.bit_depth_chroma_minus8
+        self.qp_v = chroma_qp_dynamic(qp_v, iqt) + 6 * self.sps.bit_depth_chroma_minus8
         self.qp_y = sh.qp + 6 * self.sps.bit_depth_luma_minus8
 
         lg = self.log2_max_cuwh
@@ -604,8 +605,10 @@ class BaselineIntraDecoder:
         # NOTE: chroma qp follows the slice-level mapping of the luma qp
         qp_u_i = int(np.clip(qp + self.sh.qp_u_offset, -12, 57))
         qp_v_i = int(np.clip(qp + self.sh.qp_v_offset, -12, 57))
-        qp_u = chroma_qp_dynamic(qp_u_i) + 6 * self.sps.bit_depth_chroma_minus8
-        qp_v = chroma_qp_dynamic(qp_v_i) + 6 * self.sps.bit_depth_chroma_minus8
+        qp_u = (chroma_qp_dynamic(qp_u_i, self.sps.tool_iqt)
+                + 6 * self.sps.bit_depth_chroma_minus8)
+        qp_v = (chroma_qp_dynamic(qp_v_i, self.sps.tool_iqt)
+                + 6 * self.sps.bit_depth_chroma_minus8)
 
         coef_y = coef_u = coef_v = None
         if cbf_y:
@@ -678,6 +681,13 @@ class BaselineIntraDecoder:
             out.append(val)
         return out
 
+    def _itdq(self, coef, qp):
+        """Dequant + inverse transform, IQT-aware (xevem_itdq.c:551,694)."""
+        bd = self.bd
+        if self.sps.tool_iqt:
+            return rk.inverse_dct2_iqt(rk.dequant(coef, qp, bd, iqt=1), bd)
+        return rk.inverse_dct2(rk.dequant(coef, qp, bd), bd)
+
     def _recon_inter_cu(self, x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                         coef_y, coef_u, coef_v):
         bd = self.bd
@@ -703,14 +713,14 @@ class BaselineIntraDecoder:
             pred_y, pred_u, pred_v = preds[0]
         resi = None
         if coef_y is not None:
-            resi = rk.inverse_dct2(rk.dequant(coef_y, qp_y, bd), bd)
+            resi = self._itdq(coef_y, qp_y)
         self.rec_y[y:y + cuh, x:x + cuw] = rk.recon_block(pred_y, resi, bd)
         xc, yc, wc, hc = x >> 1, y >> 1, cuw >> 1, cuh >> 1
         for plane, pred, coef, qpc in ((self.rec_u, pred_u, coef_u, qp_u),
                                        (self.rec_v, pred_v, coef_v, qp_v)):
             resi = None
             if coef is not None:
-                resi = rk.inverse_dct2(rk.dequant(coef, qpc, bd), bd)
+                resi = self._itdq(coef, qpc)
             plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- intra reconstruction ----------------------------------------------
@@ -775,7 +785,7 @@ class BaselineIntraDecoder:
             pred = rk.ipred(ipm, up, left, ul, cuw, cuh)
         resi = None
         if coef_y is not None:
-            resi = rk.inverse_dct2(rk.dequant(coef_y, qp_y, bd), bd)
+            resi = self._itdq(coef_y, qp_y)
         self.rec_y[y:y + cuh, x:x + cuw] = rk.recon_block(pred, resi, bd)
         # chroma
         xc, yc = x >> 1, y >> 1
@@ -794,7 +804,7 @@ class BaselineIntraDecoder:
                 pred = rk.ipred(ipm, up, left, ul, wc, hc)
             resi = None
             if coef is not None:
-                resi = rk.inverse_dct2(rk.dequant(coef, qp_c, bd), bd)
+                resi = self._itdq(coef, qp_c)
             plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- deblocking ---------------------------------------------------------
@@ -804,4 +814,5 @@ class BaselineIntraDecoder:
                       self.map_if, self.map_cbf_l, self.map_qp,
                       self.sh.qp_u_offset, self.sh.qp_v_offset,
                       self.bd, self.sps.bit_depth_chroma_minus8,
-                      map_refi=self.map_refi, map_mv=self.map_mv)
+                      map_refi=self.map_refi, map_mv=self.map_mv,
+                      main_qp_table=self.sps.tool_iqt)

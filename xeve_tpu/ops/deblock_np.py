@@ -18,7 +18,7 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                   leaf_cus, map_if: np.ndarray, map_cbf_l: np.ndarray,
                   map_qp: np.ndarray, qp_u_off: int, qp_v_off: int,
                   bit_depth: int, bd_chroma_minus8: int,
-                  map_refi=None, map_mv=None):
+                  map_refi=None, map_mv=None, main_qp_table: int = 0):
     """In-place deblock of the three planes. leaf_cus: z-order (x,y,w,h).
     map_refi/map_mv enable the inter strength rules (get_tbl_qp_to_st,
     xeve_df.c:34-87)."""
@@ -74,8 +74,8 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                 rec_y[yy:yy + 4, xe + 1] = D2
             qp_ui = int(np.clip(qp + qp_u_off, -6 * bd_chroma_minus8, 57))
             qp_vi = int(np.clip(qp + qp_v_off, -6 * bd_chroma_minus8, 57))
-            for plane, qpc in ((rec_u, chroma_qp_dynamic(qp_ui)),
-                               (rec_v, chroma_qp_dynamic(qp_vi))):
+            for plane, qpc in ((rec_u, chroma_qp_dynamic(qp_ui, main_qp_table)),
+                               (rec_v, chroma_qp_dynamic(qp_vi, main_qp_table))):
                 stc = rk.df_strength(qpc, idx, bd)
                 if stc:
                     xc, yc = xe >> 1, yy >> 1
@@ -107,8 +107,8 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                 rec_y[ye + 1, xx:xx + 4] = D2
             qp_ui = int(np.clip(qp + qp_u_off, -6 * bd_chroma_minus8, 57))
             qp_vi = int(np.clip(qp + qp_v_off, -6 * bd_chroma_minus8, 57))
-            for plane, qpc in ((rec_u, chroma_qp_dynamic(qp_ui)),
-                               (rec_v, chroma_qp_dynamic(qp_vi))):
+            for plane, qpc in ((rec_u, chroma_qp_dynamic(qp_ui, main_qp_table)),
+                               (rec_v, chroma_qp_dynamic(qp_vi, main_qp_table))):
                 stc = rk.df_strength(qpc, idx, bd)
                 if stc:
                     yc, xc = ye >> 1, xx >> 1

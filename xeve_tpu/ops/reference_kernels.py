@@ -96,18 +96,37 @@ def quant(coef: np.ndarray, qp: int, slice_type: int, bit_depth: int,
     return out, int(np.count_nonzero(out))
 
 
-def dequant(levels: np.ndarray, qp: int, bit_depth: int) -> np.ndarray:
-    """Matches xeve_dquant + scale derivation (xeve_itdq.c:441,546)."""
+def dequant(levels: np.ndarray, qp: int, bit_depth: int,
+            iqt: int = 0) -> np.ndarray:
+    """Matches xeve_dquant + scale derivation (xeve_itdq.c:441,546; IQT
+    scale table xevem_tbl.c:53)."""
+    from ..constants import DQUANT_SCALE_MAIN
     h, w = levels.shape
     log2_size = ((w.bit_length() - 1) + (h.bit_length() - 1)) >> 1
     ns_shift = 8 if ((w.bit_length() - 1) + (h.bit_length() - 1)) & 1 else 0
     ns_scale = 181 if ((w.bit_length() - 1) + (h.bit_length() - 1)) & 1 else 1
-    scale = int(DQUANT_SCALE_B[qp % 6]) << (qp // 6)
+    tbl = DQUANT_SCALE_MAIN if iqt else DQUANT_SCALE_B
+    scale = int(tbl[qp % 6]) << (qp // 6)
     tr_shift = MAX_TX_DYNAMIC_RANGE - bit_depth - log2_size
     shift = QUANT_IQUANT_SHIFT - QUANT_SHIFT - tr_shift + ns_shift
     offset = 0 if shift == 0 else 1 << (shift - 1)
     lev = (levels.astype(np.int64) * (scale * ns_scale) + offset) >> shift
     return np.clip(lev, -32768, 32767).astype(np.int32)
+
+
+def inverse_dct2_iqt(coef: np.ndarray, bit_depth: int) -> np.ndarray:
+    """IQT inverse 2-D DCT-2 (xevem_itdq.c:553 xeve_itrans, iqt path):
+    per-stage rounding shifts with 16-bit clamps between stages."""
+    h, w = coef.shape
+    tm_h = TM[h].astype(np.int64)
+    tm_w = TM[w].astype(np.int64)
+    a = coef.astype(np.int64)
+    # stage 1 over the height transform: B1[j][n] = sum_k A[k][j]*TMh[k][n]
+    b1 = (a.T @ tm_h + (1 << 6)) >> 7
+    b1 = np.clip(b1, -32768, 32767)
+    s2 = 12 - (bit_depth - 8)
+    out = (b1.T @ tm_w + (1 << (s2 - 1))) >> s2
+    return np.clip(out, -32768, 32767).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
