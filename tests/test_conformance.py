@@ -216,3 +216,28 @@ def test_decode_main_profile_iqt(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+ATS_CASES = [
+    ("s96_ats_ai", 96, 80, 2),
+    ("s96_ats_zl", 96, 80, 6),
+    ("s96_ats_ra", 96, 80, 20),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", ATS_CASES)
+def test_decode_main_profile_ats(name, w, h, n):
+    """Main profile with ATS: DST-7/DCT-8 intra transform pairs
+    (ats_intra_cu + per-direction mode bits) and ATS-inter sub-TB
+    residuals (SBT position/size signalling, zero-extended recon)
+    (xevem_eco.c:908-1016, xevem_itdq.c:278, xevem_recon.c:41)."""
+    dec = BaselineIntraDecoder()
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = sorted(dec.decode(stream), key=lambda f: f.poc)
+    assert len(frames) == n
+    assert dec.signatures_checked == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
+        assert np.array_equal(f.u, gu)
+        assert np.array_equal(f.v, gv)

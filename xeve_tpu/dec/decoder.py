@@ -610,13 +610,60 @@ class BaselineIntraDecoder:
         qp_v = (chroma_qp_dynamic(qp_v_i, self.sps.tool_iqt)
                 + 6 * self.sps.bit_depth_chroma_minus8)
 
+        # ATS signalling (xeve_eco_coefficient, xevem_eco.c:1396-1412)
+        ats_intra_cu = ats_mode = ats_inter_info = 0
+        lw, lh = cuw.bit_length() - 1, cuh.bit_length() - 1
+        if self.sps.tool_ats and not skip:
+            if mode_intra and cbf_y and lw <= 5 and lh <= 5:
+                ats_intra_cu = sbac.decode_bin_ep()
+                self._tr(f"ats intra CU {ats_intra_cu} ")
+                if ats_intra_cu:
+                    hbit = sbac.decode_bin(ctx.ats_mode, 0)
+                    self._tr(f"ats intra tuH {hbit} ")
+                    vbit = sbac.decode_bin(ctx.ats_mode, 0)
+                    self._tr(f"ats intra tuV {vbit} ")
+                    ats_mode = (hbit << 1) | vbit
+            elif not mode_intra and cbf_all and cuw <= 64 and cuh <= 64:
+                m_v, m_h = cuw >= 8, cuh >= 8
+                m_vq, m_hq = cuw >= 16, cuh >= 16
+                if m_v or m_h:
+                    cm = ctx.cm_init
+                    cf = (0 if lw + lh >= 8 else 1) if cm else 0
+                    flag = sbac.decode_bin(ctx.ats_cu_inter_flag, cf)
+                    self._tr_raw(f"ats_inter_flag {flag} ")
+                    if flag:
+                        quad = 0
+                        if (m_vq or m_hq) and (m_v or m_h):
+                            quad = sbac.decode_bin(ctx.ats_cu_inter_quad_flag, 0)
+                            self._tr_raw(f"ats_inter_quad {quad} ")
+                        if ((quad and m_vq and m_hq) or
+                                (not quad and m_v and m_h)):
+                            ch = ((0 if lw == lh else (1 if lw < lh else 2))
+                                  if cm else 0)
+                            hor = sbac.decode_bin(ctx.ats_cu_inter_hor_flag, ch)
+                            self._tr_raw(f"ats_inter_hor {hor} ")
+                        else:
+                            hor = 1 if ((quad and m_hq) or
+                                        (not quad and m_h)) else 0
+                        pos = sbac.decode_bin(ctx.ats_cu_inter_pos_flag, 0)
+                        self._tr_raw(f"ats_inter_pos {pos} ")
+                        idx = (4 if hor else 3) if quad else (2 if hor else 1)
+                        ats_inter_info = idx | (pos << 4)
+        self._cur_ats = (ats_intra_cu, ats_mode, ats_inter_info)
+
+        tu_lw, tu_lh = lw, lh
+        if ats_inter_info:
+            tu_lw, tu_lh = rk.ats_inter_tu_size(ats_inter_info, lw, lh)
         coef_y = coef_u = coef_v = None
         if cbf_y:
-            coef_y = self._decode_coef_block(sbac, ctx, cuw, cuh, 0)
+            coef_y = self._decode_coef_block(sbac, ctx, 1 << tu_lw,
+                                             1 << tu_lh, 0)
         if cbf_u:
-            coef_u = self._decode_coef_block(sbac, ctx, cuw >> 1, cuh >> 1, 1)
+            coef_u = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
+                                             1 << (tu_lh - 1), 1)
         if cbf_v:
-            coef_v = self._decode_coef_block(sbac, ctx, cuw >> 1, cuh >> 1, 1)
+            coef_v = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
+                                             1 << (tu_lh - 1), 1)
 
         # reconstruct
         if mode_intra:
@@ -688,6 +735,48 @@ class BaselineIntraDecoder:
             return rk.inverse_dct2_iqt(rk.dequant(coef, qp, bd, iqt=1), bd)
         return rk.inverse_dct2(rk.dequant(coef, qp, bd), bd)
 
+    @staticmethod
+    def _place_sub_tb(sub, w, h, info):
+        """Zero-extend an ATS-inter sub-TB residual to CU size at the
+        signalled position (xeve_recon_w_ats, xevem_recon.c:41)."""
+        idx = info & 0xF
+        pos = (info >> 4) & 0xF
+        out = np.zeros((h, w), dtype=np.int32)
+        sh, sw = sub.shape
+        if idx in (2, 4):   # horizontal split: sub occupies top or bottom
+            y0 = 0 if pos == 0 else h - sh
+            out[y0:y0 + sh, :] = sub
+        else:
+            x0 = 0 if pos == 0 else w - sw
+            out[:, x0:x0 + sw] = sub
+        return out
+
+    def _resi_luma(self, coef, qp, cuw, cuh):
+        ats_intra_cu, ats_mode, inter_info = self._cur_ats
+        bd = self.bd
+        if ats_intra_cu:
+            return rk.inverse_ats(
+                rk.dequant(coef, qp, bd, iqt=self.sps.tool_iqt), ats_mode, bd)
+        if inter_info:
+            lw, lh = cuw.bit_length() - 1, cuh.bit_length() - 1
+            use, m = rk.ats_inter_trs(inter_info, lw, lh)
+            d = rk.dequant(coef, qp, bd, iqt=self.sps.tool_iqt)
+            if use:
+                sub = rk.inverse_ats(d, m, bd)
+            elif self.sps.tool_iqt:
+                sub = rk.inverse_dct2_iqt(d, bd)
+            else:
+                sub = rk.inverse_dct2(d, bd)
+            return self._place_sub_tb(sub, cuw, cuh, inter_info)
+        return self._itdq(coef, qp)
+
+    def _resi_chroma(self, coef, qp, wc, hc):
+        inter_info = self._cur_ats[2]
+        if inter_info:
+            return self._place_sub_tb(self._itdq(coef, qp), wc, hc,
+                                      inter_info)
+        return self._itdq(coef, qp)
+
     def _recon_inter_cu(self, x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                         coef_y, coef_u, coef_v):
         bd = self.bd
@@ -713,14 +802,14 @@ class BaselineIntraDecoder:
             pred_y, pred_u, pred_v = preds[0]
         resi = None
         if coef_y is not None:
-            resi = self._itdq(coef_y, qp_y)
+            resi = self._resi_luma(coef_y, qp_y, cuw, cuh)
         self.rec_y[y:y + cuh, x:x + cuw] = rk.recon_block(pred_y, resi, bd)
         xc, yc, wc, hc = x >> 1, y >> 1, cuw >> 1, cuh >> 1
         for plane, pred, coef, qpc in ((self.rec_u, pred_u, coef_u, qp_u),
                                        (self.rec_v, pred_v, coef_v, qp_v)):
             resi = None
             if coef is not None:
-                resi = self._itdq(coef, qpc)
+                resi = self._resi_chroma(coef, qpc, wc, hc)
             plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- intra reconstruction ----------------------------------------------
@@ -785,7 +874,7 @@ class BaselineIntraDecoder:
             pred = rk.ipred(ipm, up, left, ul, cuw, cuh)
         resi = None
         if coef_y is not None:
-            resi = self._itdq(coef_y, qp_y)
+            resi = self._resi_luma(coef_y, qp_y, cuw, cuh)
         self.rec_y[y:y + cuh, x:x + cuw] = rk.recon_block(pred, resi, bd)
         # chroma
         xc, yc = x >> 1, y >> 1
@@ -804,7 +893,7 @@ class BaselineIntraDecoder:
                 pred = rk.ipred(ipm, up, left, ul, wc, hc)
             resi = None
             if coef is not None:
-                resi = self._itdq(coef, qp_c)
+                resi = self._resi_chroma(coef, qp_c, wc, hc)
             plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- deblocking ---------------------------------------------------------

@@ -53,6 +53,8 @@ class SbacCtx:
         "intra_chroma_pred_mode", "cm_init",
         "sig_coeff_flag", "coeff_abs_level_greaterAB_flag",
         "last_sig_coeff_x_prefix", "last_sig_coeff_y_prefix",
+        "ats_mode", "ats_cu_inter_flag", "ats_cu_inter_quad_flag",
+        "ats_cu_inter_hor_flag", "ats_cu_inter_pos_flag",
     )
 
     # field -> (init-table name, context count)
@@ -83,6 +85,12 @@ class SbacCtx:
             ("coeff_abs_level_greaterAB_flag", 18),
         "last_sig_coeff_x_prefix": ("last_sig_coeff_x_prefix", 21),
         "last_sig_coeff_y_prefix": ("last_sig_coeff_y_prefix", 21),
+        # ATS
+        "ats_mode": ("ats_mode", 1),
+        "ats_cu_inter_flag": ("ats_cu_inter_flag", 2),
+        "ats_cu_inter_quad_flag": ("ats_cu_inter_quad_flag", 1),
+        "ats_cu_inter_hor_flag": ("ats_cu_inter_hor_flag", 3),
+        "ats_cu_inter_pos_flag": ("ats_cu_inter_pos_flag", 1),
     }
 
     def __init__(self, slice_type=None, slice_qp=0, cm_init=0):

@@ -114,6 +114,51 @@ def dequant(levels: np.ndarray, qp: int, bit_depth: int,
     return np.clip(lev, -32768, 32767).astype(np.int32)
 
 
+def inverse_ats(coef: np.ndarray, ats_mode: int, bit_depth: int) -> np.ndarray:
+    """Inverse DST7/DCT8 2-D transform (xeve_it_MxN_ats_intra,
+    xevem_itdq.c:278): ats_mode bit1 selects the horizontal transform,
+    bit0 the vertical; bit==0 -> DST-7, bit==1 -> DCT-8."""
+    from ..constants_ats import TR_DST7, TR_DCT8
+    h, w = coef.shape
+    tm_v = (TR_DCT8 if (ats_mode & 1) else TR_DST7)[h]
+    tm_h = (TR_DCT8 if (ats_mode >> 1) else TR_DST7)[w]
+    a = coef.astype(np.int64)
+    b1 = (a.T @ tm_v + (1 << 6)) >> 7
+    b1 = np.clip(b1, -32768, 32767)
+    s2 = 20 - bit_depth
+    out = (b1.T @ tm_h + (1 << (s2 - 1))) >> s2
+    return np.clip(out, -32768, 32767).astype(np.int32)
+
+
+def ats_inter_trs(ats_inter_info: int, log2_cuw: int, log2_cuh: int):
+    """(use_ats, ats_mode) for an SBT sub-TB (get_ats_inter_trs,
+    xevem_util.c:2805)."""
+    if ats_inter_info == 0:
+        return 0, 0
+    if log2_cuw > 5 or log2_cuh > 5:
+        return 0, 0
+    idx = ats_inter_info & 0xF
+    pos = (ats_inter_info >> 4) & 0xF
+    if idx in (2, 4):   # horizontal split
+        t_h = 0
+        t_v = 1 if pos == 0 else 0
+    else:
+        t_v = 0
+        t_h = 1 if pos == 0 else 0
+    return 1, (t_h << 1) | t_v
+
+
+def ats_inter_tu_size(ats_inter_info: int, log2_cuw: int, log2_cuh: int):
+    """Sub-TB dims (get_tu_size, xevem_util.c:2892)."""
+    idx = ats_inter_info & 0xF
+    if idx == 0:
+        return log2_cuw, log2_cuh
+    quad = idx in (3, 4)
+    if idx in (2, 4):   # horizontal
+        return log2_cuw, log2_cuh - (2 if quad else 1)
+    return log2_cuw - (2 if quad else 1), log2_cuh
+
+
 def inverse_dct2_iqt(coef: np.ndarray, bit_depth: int) -> np.ndarray:
     """IQT inverse 2-D DCT-2 (xevem_itdq.c:553 xeve_itrans, iqt path):
     per-stage rounding shifts with 16-bit clamps between stages."""
