@@ -673,6 +673,15 @@ class BaselineIntraDecoder:
             self._recon_inter_cu(x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                                  coef_y, coef_u, coef_v)
 
+        # HTDF in-loop filter on the luma recon (intra: always; inter:
+        # only with luma coefficients — xevem_pintra.c:106, xevem_pinter.c:6090)
+        if self.sps.tool_htdf and (mode_intra or (not skip and cbf_y)):
+            from ..ops import htdf_np
+            htdf_np.htdf_cu(self.rec_y, x, y, cuw, cuh, self.sh.qp,
+                            mode_intra,
+                            self._avail_intra_flags(x_scu, y_scu, scuw, scuh),
+                            self.bd)
+
         # update maps
         ys, xs = y_scu, x_scu
         hs, ws = cuh >> MIN_CU_LOG2, cuw >> MIN_CU_LOG2
@@ -727,6 +736,26 @@ class BaselineIntraDecoder:
                 val = -val if sign else val
             out.append(val)
         return out
+
+    def _avail_intra_flags(self, x_scu, y_scu, scuw, scuh) -> dict:
+        """xeve_get_avail_intra (xeve_util.c:719) as a flag dict."""
+        cod = self.map_cod
+        w_scu, h_scu = self.w_scu, self.h_scu
+        le = x_scu > 0 and cod[y_scu, x_scu - 1]
+        ri = x_scu + scuw < w_scu and cod[y_scu, x_scu + scuw]
+        diag = y_scu + scuh + scuw - 1 < h_scu
+        return {
+            "le": le,
+            "ri": ri,
+            "up": y_scu > 0,
+            "up_le": x_scu > 0 and y_scu > 0 and cod[y_scu - 1, x_scu - 1],
+            "up_ri": (y_scu > 0 and x_scu + scuw < w_scu and
+                      cod[y_scu - 1, x_scu + scuw]),
+            "lo_le": bool(le and diag and
+                          cod[y_scu + scuw + scuh - 1, x_scu - 1]),
+            "lo_ri": bool(ri and diag and
+                          cod[y_scu + scuw + scuh - 1, x_scu + scuw]),
+        }
 
     def _itdq(self, coef, qp):
         """Dequant + inverse transform, IQT-aware (xevem_itdq.c:551,694)."""
