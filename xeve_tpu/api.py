@@ -260,24 +260,47 @@ class Encoder:
         bw = BitWriter()
         NalHeader(NUT_NONIDR, 0).write(bw)
         sh.write(bw, NUT_NONIDR, self.sps, self.pps)
-        sbac = SbacEncoder()
-        ctx = SbacCtx()
-        fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,
-                       p.qp_cr_offset, slice_type=SLICE_P, refp=refp,
-                       use_rdoq=p.rdoq, use_deblock=p.use_deblock)
-        rec_y, rec_u, rec_v, _ = fp.encode(np.asarray(y, np.int32),
-                                           np.asarray(u, np.int32),
-                                           np.asarray(v, np.int32), an, sbac, ctx)
-        payload = bw.get_bytes() + sbac.finish()
-        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv = \
+            self._code_slice(SLICE_P, self.poc, qp, y, u, v, an, refp, None)
+        payload = bw.get_bytes() + slice_payload
+        payload += self._cabac_zero_words(bin_count, len(payload))
         out = wrap_nal(payload)
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
         self._rc_update(SLICE_P, qp, len(out))
         self._prev_orig_y = np.asarray(y)
-        self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv)
+        self._dpb_push(rec_y, rec_u, rec_v, map_mv)
         self.pic_cnt += 1
         return out, (rec_y, rec_u, rec_v)
+
+    def _code_slice(self, slice_type, poc, qp, y, u, v, an, refp, refp1):
+        """Run the closed-loop slice coding pass (native C fast path or the
+        numpy FramePass oracle).  Returns (payload, bin_count, rec_y, rec_u,
+        rec_v, map_mv)."""
+        p = self.p
+        bd = p.codec_bit_depth
+        if self.coder_engine == "native":
+            from .enc.frame_native import encode_frame_native
+            payload, bin_count, rec_y, rec_u, rec_v, map_mv, _refi = \
+                encode_frame_native(p.w_aligned, p.h_aligned, bd, qp,
+                                    p.qp_cb_offset, p.qp_cr_offset,
+                                    slice_type, poc, y, u, v, an,
+                                    refp=refp, refp1=refp1, pad_l=PAD_L,
+                                    use_rdoq=p.rdoq,
+                                    use_deblock=p.use_deblock)
+            return payload, bin_count, rec_y, rec_u, rec_v, map_mv
+        sbac = SbacEncoder()
+        ctx = SbacCtx()
+        fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
+                       p.qp_cb_offset, p.qp_cr_offset, slice_type=slice_type,
+                       refp=refp, refp1=refp1, poc=poc,
+                       use_rdoq=p.rdoq, use_deblock=p.use_deblock)
+        rec_y, rec_u, rec_v, _ = fp.encode(np.asarray(y, np.int32),
+                                           np.asarray(u, np.int32),
+                                           np.asarray(v, np.int32), an, sbac,
+                                           ctx)
+        return (sbac.finish(), sbac.bin_counter, rec_y, rec_u, rec_v,
+                fp.map_mv)
 
     def encode_frames(self, frames, batch: int = 4):
         """Batch all-intra encode with a two-stage pipeline: TPU analysis of
@@ -499,21 +522,16 @@ class GopEncoder(Encoder):
         bw = BitWriter()
         NalHeader(nut, tid).write(bw)
         sh.write(bw, nut, self.sps, self.pps)
-        sbac = SbacEncoder()
-        ctx = SbacCtx()
-        fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp, p.qp_cb_offset,
-                       p.qp_cr_offset, slice_type=slice_type,
-                       refp=refp, refp1=refp1, poc=poc,
-                       use_rdoq=p.rdoq, use_deblock=p.use_deblock)
-        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, an, sbac, ctx)
-        payload = bw.get_bytes() + sbac.finish()
-        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv = \
+            self._code_slice(slice_type, poc, qp, y, u, v, an, refp, refp1)
+        payload = bw.get_bytes() + slice_payload
+        payload += self._cabac_zero_words(bin_count, len(payload))
         out += wrap_nal(payload)
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
         self._rc_update(slice_type, qp, len(out))
         self._prev_orig_y = y
-        self._dpb_push(rec_y, rec_u, rec_v, fp.map_mv, poc=poc, tid=tid,
+        self._dpb_push(rec_y, rec_u, rec_v, map_mv, poc=poc, tid=tid,
                        is_ref=is_ref, is_idr=(nut == NUT_IDR),
                        list0_poc=refp[0]["poc"] if refp else poc)
         self.pic_cnt += 1

@@ -1,0 +1,112 @@
+"""Native (C) closed-loop slice coding pass for I/P/B — fast path of
+FramePass (enc/frame_pass.py).
+
+Bit-exact with the numpy FramePass oracle (asserted in tests): same SBAC,
+MC, RDOQ, transforms, MVP derivation, mode decisions, reconstruction and
+deblocking semantics.  Mirrors the reference's serial pass-2 structure
+(xeve_enc.c:416-596) with the closed-loop per-CU choice of xeve_mode.c.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native.build import get_lib, XtFrameCfg, XtStats, XtRefPic
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+
+
+def _ref_pic(ref: dict, keep: list) -> XtRefPic:
+    """Build an XtRefPic from a DPB entry dict (api.py _dpb_push layout)."""
+    y = np.ascontiguousarray(ref["y_pad"], dtype=np.uint16)
+    u = np.ascontiguousarray(ref["u_pad"], dtype=np.uint16)
+    v = np.ascontiguousarray(ref["v_pad"], dtype=np.uint16)
+    mv = np.ascontiguousarray(ref["map_mv"], dtype=np.int32)
+    keep.extend((y, u, v, mv))
+    return XtRefPic(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        mv.ctypes.data_as(_i32p),
+        int(ref["poc"]), int(ref.get("list0_poc", ref["poc"])))
+
+
+def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
+                        orig_y, orig_u, orig_v, analysis,
+                        refp=None, refp1=None, pad_l=80,
+                        use_rdoq=True, use_deblock=True):
+    """Code one slice natively.  Returns (payload_bytes, bin_count,
+    rec_y, rec_u, rec_v, map_mv, map_refi)."""
+    lib = get_lib()
+    cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
+                     1 if use_rdoq else 0, 1 if use_deblock else 0)
+    oy = np.ascontiguousarray(orig_y, dtype=np.int16)
+    ou = np.ascontiguousarray(orig_u, dtype=np.int16)
+    ov = np.ascontiguousarray(orig_v, dtype=np.int16)
+    rec_y = np.empty((h, w), dtype=np.uint16)
+    rec_u = np.empty((h // 2, w // 2), dtype=np.uint16)
+    rec_v = np.empty((h // 2, w // 2), dtype=np.uint16)
+    h_scu, w_scu = (h + 3) >> 2, (w + 3) >> 2
+    map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int32)
+    map_refi = np.full((h_scu, w_scu, 2), -1, dtype=np.int8)
+    cap = w * h * 4 + 65536
+    out = np.empty(cap, dtype=np.uint8)
+    stats = XtStats()
+
+    keep = []
+
+    def u8_table(maps, default_like):
+        tbl = (_u8p * 7)()
+        for lg in range(2, 7):
+            if maps is not None and lg in maps:
+                a = np.ascontiguousarray(maps[lg], dtype=np.uint8)
+            else:
+                a = np.zeros_like(default_like[lg], dtype=np.uint8)
+            keep.append(a)
+            tbl[lg] = a.ctypes.data_as(_u8p)
+        return tbl
+
+    def i32_table(maps):
+        if maps is None:
+            return None
+        tbl = (_i32p * 7)()
+        for lg in range(2, 7):
+            a = np.ascontiguousarray(maps[lg], dtype=np.int32)
+            keep.append(a)
+            tbl[lg] = a.ctypes.data_as(_i32p)
+        return tbl
+
+    split_tbl = u8_table(analysis.split, analysis.mode)
+    mode_tbl = u8_table(analysis.mode, analysis.mode)
+    mv_tbl = i32_table(getattr(analysis, "mv", None))
+    mv1_tbl = i32_table(getattr(analysis, "mv1", None))
+
+    ref0 = _ref_pic(refp[0], keep) if refp else None
+    ref1 = _ref_pic(refp1[0], keep) if refp1 else None
+
+    ret = lib.xt_encode_frame(
+        ctypes.byref(cfg),
+        ctypes.c_int32(slice_type), ctypes.c_int32(poc),
+        ctypes.c_int32(pad_l),
+        oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ou.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.byref(ref0) if ref0 is not None else None,
+        ctypes.byref(ref1) if ref1 is not None else None,
+        split_tbl, mode_tbl,
+        mv_tbl, mv1_tbl,
+        out.ctypes.data_as(_u8p), ctypes.c_int64(cap),
+        rec_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rec_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rec_v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        map_mv.ctypes.data_as(_i32p),
+        map_refi.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.byref(stats))
+    if ret != 0:
+        raise RuntimeError("native frame pass: output buffer overflow")
+    payload = bytes(out[:stats.payload_bytes].tobytes())
+    return (payload, int(stats.bin_count),
+            rec_y.astype(np.int32), rec_u.astype(np.int32),
+            rec_v.astype(np.int32), map_mv, map_refi)

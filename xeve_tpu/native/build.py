@@ -26,6 +26,16 @@ class XtStats(ctypes.Structure):
                 ("n_leaf", ctypes.c_int32)]
 
 
+class XtRefPic(ctypes.Structure):
+    """Reference picture (padded planes + motion map) for the inter pass."""
+    _fields_ = [("y", ctypes.POINTER(ctypes.c_uint16)),
+                ("u", ctypes.POINTER(ctypes.c_uint16)),
+                ("v", ctypes.POINTER(ctypes.c_uint16)),
+                ("map_mv", ctypes.POINTER(ctypes.c_int32)),
+                ("poc", ctypes.c_int32),
+                ("list0_poc", ctypes.c_int32)]
+
+
 def _needs_build() -> bool:
     if not os.path.exists(_SO):
         return True
@@ -64,6 +74,20 @@ def get_lib():
         u8p, u8p, u8p, u8p, u8p,      # mode maps 2..6
         u8p, ctypes.c_int64,
         u16p, u16p, u16p,
+        ctypes.POINTER(XtStats),
+    ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.xt_encode_frame.restype = ctypes.c_int
+    lib.xt_encode_frame.argtypes = [
+        ctypes.POINTER(XtFrameCfg),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # slice_type, poc, pad_l
+        i16p, i16p, i16p,
+        ctypes.POINTER(XtRefPic), ctypes.POINTER(XtRefPic),
+        ctypes.POINTER(u8p), ctypes.POINTER(u8p),         # split/mode map tables
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p),       # mv/mv1 map tables
+        u8p, ctypes.c_int64,
+        u16p, u16p, u16p,
+        i32p, ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(XtStats),
     ]
     _lib = lib

@@ -431,8 +431,10 @@ static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
         block_uncoded += err * err;
     }
 
+    /* inter-slice luma signals cbf_all first (enc/rdoq.py:105-111) */
     int64_t best_cost, base_cost;
-    const int32_t *cbf_est = (ch_type == 0) ? e->cbf_luma
+    const int32_t *cbf_est = (ch_type == 0)
+                             ? (slice_is_i ? e->cbf_luma : e->cbf_all)
                              : (ch_type == 1) ? e->cbf_cb : e->cbf_cr;
     best_cost = block_uncoded + (int64_t)cbf_est[0] * lam;
     base_cost = block_uncoded + (int64_t)cbf_est[1] * lam;
@@ -531,6 +533,14 @@ typedef struct {
     int32_t use_rdoq, use_deblock;
 } XtFrameCfg;
 
+/* reference picture for inter prediction (planes are edge-padded) */
+typedef struct {
+    const uint16_t *y, *u, *v;      /* padded planes */
+    const int32_t *map_mv;          /* (h_scu, w_scu, 2, 2) or NULL */
+    int32_t poc;
+    int32_t list0_poc;              /* for temporal direct scaling */
+} XtRefPic;
+
 typedef struct {
     const XtFrameCfg *cfg;
     const int16_t *oy, *ou, *ov;
@@ -548,6 +558,17 @@ typedef struct {
     int32_t *leaf_x, *leaf_y;
     int16_t *leaf_lg;
     int32_t n_leaf;
+    /* inter state (NULL/0 for the intra-only entry) */
+    int slice_type;                 /* 0=B 1=P 2=I */
+    int poc;
+    int pad_l;                      /* luma pad of ref planes */
+    const XtRefPic *ref0, *ref1;    /* NULL when absent */
+    const int32_t *const *mv_maps;  /* [lg] -> (nby,nbx,2) qpel or NULL */
+    const int32_t *const *mv1_maps;
+    int32_t *map_mv;                /* out: (h_scu,w_scu,2,2) */
+    int8_t *map_refi;               /* out: (h_scu,w_scu,2) */
+    double w_u, w_v;                /* chroma distortion weights */
+    int32_t *scratch;               /* per-frame CU work buffers */
 } XtFrame;
 
 static int xt_chroma_qp(int qp)
@@ -752,6 +773,8 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
     }
 }
 
+static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg);
+
 static void xt_code_tree(XtFrame *f, int x, int y, int lg)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -775,7 +798,768 @@ static void xt_code_tree(XtFrame *f, int x, int y, int lg)
                 xt_code_tree(f, xp, yp, lg - 1);
         }
     } else {
-        xt_code_cu(f, x, y, lg);
+        if (f->slice_type == 2 || !f->ref0) xt_code_cu(f, x, y, lg);
+        else                                xt_code_cu_pb(f, x, y, lg);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* Inter prediction: MC interpolation (xeve_mc.c semantics),           */
+/* MVP derivation, temporal direct, P/B CU coding                      */
+/* ------------------------------------------------------------------ */
+
+/* xeve_tbl_mc_l_coeff rows 0/4/8/12 (xeve_mc.c:39), index = phase>>2 */
+static const int16_t XT_MC_L_CO[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {0, 1, -5, 52, 20, -5, 1, 0},
+    {0, 2, -10, 40, 40, -10, 2, 0},
+    {0, 1, -5, 20, 52, -5, 1, 0},
+};
+
+/* xeve_tbl_mc_c_coeff rows 0,4..28 (xeve_mc.c:59), index = phase>>2 */
+static const int16_t XT_MC_C_CO[8][4] = {
+    {0, 64, 0, 0}, {-2, 58, 10, -2}, {-4, 52, 20, -4}, {-6, 46, 30, -6},
+    {-8, 40, 40, -8}, {-6, 30, 46, -6}, {-4, 20, 52, -4}, {-2, 10, 58, -2},
+};
+
+/* xeve_mv_clip (quarter-pel units, ops/mc_np.py:35) */
+static void xt_mv_clip(int x, int y, int pic_w, int pic_h, int w, int h,
+                       int *mvx, int *mvy)
+{
+    int x4 = x << 2, y4 = y << 2, w4 = w << 2, h4 = h << 2;
+    int min_c = -(64 << 2);
+    int max_x = (pic_w - 1 + 64) << 2;
+    int max_y = (pic_h - 1 + 64) << 2;
+    if (x4 + *mvx < min_c) *mvx = min_c - x4;
+    if (y4 + *mvy < min_c) *mvy = min_c - y4;
+    if (x4 + *mvx + w4 - 4 > max_x) *mvx = max_x - x4 - w4 + 4;
+    if (y4 + *mvy + h4 - 4 > max_y) *mvy = max_y - y4 - h4 + 4;
+}
+
+/* luma MC, gmv in 1/16-pel units relative to the unpadded origin
+ * (ops/mc_np.py mc_luma): single-direction paths shift 6 no offset;
+ * separable path truncates the intermediate to int16. */
+static void xt_mc_luma(const uint16_t *ref, int rstride, int pad,
+                       int gmv_x, int gmv_y, int w, int h, int bd,
+                       int32_t *out)
+{
+    int dx = gmv_x & 15, dy = gmv_y & 15;
+    int ix = (gmv_x >> 4) + pad, iy = (gmv_y >> 4) + pad;
+    int mx = (1 << bd) - 1;
+    if (dx == 0 && dy == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++)
+                out[i * w + j] = ref[(iy + i) * rstride + ix + j];
+        return;
+    }
+    const int16_t *ch = XT_MC_L_CO[dx >> 2];
+    const int16_t *cv = XT_MC_L_CO[dy >> 2];
+    if (dy == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int32_t acc = 0;
+                const uint16_t *r = ref + (iy + i) * rstride + ix - 3 + j;
+                for (int k = 0; k < 8; k++) acc += ch[k] * r[k];
+                int32_t v = acc >> 6;
+                out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+            }
+        return;
+    }
+    if (dx == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int32_t acc = 0;
+                const uint16_t *r = ref + (iy - 3 + i) * rstride + ix + j;
+                for (int k = 0; k < 8; k++) acc += cv[k] * r[k * rstride];
+                int32_t v = acc >> 6;
+                out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+            }
+        return;
+    }
+    int shift1 = (bd - 8) < 4 ? (bd - 8) : 4;
+    int shift2 = (20 - bd) > 8 ? (20 - bd) : 8;
+    int off2 = 1 << (shift2 - 1);
+    int16_t tmp[(64 + 7) * 64];
+    for (int i = 0; i < h + 7; i++)
+        for (int j = 0; j < w; j++) {
+            int32_t acc = 0;
+            const uint16_t *r = ref + (iy - 3 + i) * rstride + ix - 3 + j;
+            for (int k = 0; k < 8; k++) acc += ch[k] * r[k];
+            tmp[i * w + j] = (int16_t)(acc >> shift1);
+        }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+            int32_t acc = 0;
+            for (int k = 0; k < 8; k++) acc += cv[k] * tmp[(i + k) * w + j];
+            int32_t v = (acc + off2) >> shift2;
+            out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+        }
+}
+
+/* chroma MC, gmv in 1/32 chroma-pel units (ops/mc_np.py mc_chroma) */
+static void xt_mc_chroma(const uint16_t *ref, int rstride, int pad,
+                         int gmv_x, int gmv_y, int w, int h, int bd,
+                         int32_t *out)
+{
+    int dx = gmv_x & 31, dy = gmv_y & 31;
+    int ix = (gmv_x >> 5) + pad, iy = (gmv_y >> 5) + pad;
+    int mx = (1 << bd) - 1;
+    if (dx == 0 && dy == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++)
+                out[i * w + j] = ref[(iy + i) * rstride + ix + j];
+        return;
+    }
+    const int16_t *ch = XT_MC_C_CO[dx >> 2];
+    const int16_t *cv = XT_MC_C_CO[dy >> 2];
+    if (dy == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int32_t acc = 0;
+                const uint16_t *r = ref + (iy + i) * rstride + ix - 1 + j;
+                for (int k = 0; k < 4; k++) acc += ch[k] * r[k];
+                int32_t v = acc >> 6;
+                out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+            }
+        return;
+    }
+    if (dx == 0) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int32_t acc = 0;
+                const uint16_t *r = ref + (iy - 1 + i) * rstride + ix + j;
+                for (int k = 0; k < 4; k++) acc += cv[k] * r[k * rstride];
+                int32_t v = acc >> 6;
+                out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+            }
+        return;
+    }
+    int shift1 = (bd - 8) < 4 ? (bd - 8) : 4;
+    int shift2 = (20 - bd) > 8 ? (20 - bd) : 8;
+    int off2 = 1 << (shift2 - 1);
+    int16_t tmp[(32 + 3) * 32];
+    for (int i = 0; i < h + 3; i++)
+        for (int j = 0; j < w; j++) {
+            int32_t acc = 0;
+            const uint16_t *r = ref + (iy - 1 + i) * rstride + ix - 1 + j;
+            for (int k = 0; k < 4; k++) acc += ch[k] * r[k];
+            tmp[i * w + j] = (int16_t)(acc >> shift1);
+        }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+            int32_t acc = 0;
+            for (int k = 0; k < 4; k++) acc += cv[k] * tmp[(i + k) * w + j];
+            int32_t v = (acc + off2) >> shift2;
+            out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
+        }
+}
+
+/* full-CU MC for one list (ops/mc_np.py mc_cu) */
+static void xt_mc_cu(const XtFrame *f, const XtRefPic *ref, int x, int y,
+                     int s, int mvx, int mvy,
+                     int32_t *py, int32_t *pu, int32_t *pv)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int pad = f->pad_l, padc = pad >> 1;
+    xt_mv_clip(x, y, cfg->w, cfg->h, s, s, &mvx, &mvy);
+    int gx = ((x << 2) + mvx) << 2;
+    int gy = ((y << 2) + mvy) << 2;
+    int stride_l = cfg->w + 2 * pad;
+    int stride_c = (cfg->w >> 1) + 2 * padc;
+    xt_mc_luma(ref->y, stride_l, pad, gx, gy, s, s, cfg->bd, py);
+    xt_mc_chroma(ref->u, stride_c, padc, gx, gy, s >> 1, s >> 1, cfg->bd, pu);
+    xt_mc_chroma(ref->v, stride_c, padc, gx, gy, s >> 1, s >> 1, cfg->bd, pv);
+}
+
+/* bi prediction with identical-motion shortcut + rounded average
+ * (frame_pass.py _mc_bi) */
+static void xt_mc_bi(const XtFrame *f, int x, int y, int s,
+                     int mv0x, int mv0y, int mv1x, int mv1y,
+                     int32_t *py, int32_t *pu, int32_t *pv,
+                     int32_t *ty, int32_t *tu, int32_t *tv)
+{
+    int c0x = mv0x, c0y = mv0y, c1x = mv1x, c1y = mv1y;
+    xt_mv_clip(x, y, f->cfg->w, f->cfg->h, s, s, &c0x, &c0y);
+    xt_mv_clip(x, y, f->cfg->w, f->cfg->h, s, s, &c1x, &c1y);
+    xt_mc_cu(f, f->ref0, x, y, s, mv0x, mv0y, py, pu, pv);
+    if (f->ref0->poc == f->ref1->poc && c0x == c1x && c0y == c1y) return;
+    xt_mc_cu(f, f->ref1, x, y, s, mv1x, mv1y, ty, tu, tv);
+    int n = s * s, nc = (s >> 1) * (s >> 1);
+    for (int i = 0; i < n; i++) py[i] = (py[i] + ty[i] + 1) >> 1;
+    for (int i = 0; i < nc; i++) {
+        pu[i] = (pu[i] + tu[i] + 1) >> 1;
+        pv[i] = (pv[i] + tv[i] + 1) >> 1;
+    }
+}
+
+/* Baseline MVP list (ops/motion_np.py; xeve_get_motion xeve_util.c:527) */
+static void xt_get_mvp(const XtFrame *f, int x_scu, int y_scu, int scuw,
+                       int lidx, int32_t mvp[4][2])
+{
+    int w_scu = f->w_scu;
+    int avail_le = 0, avail_up = 0, avail_ur = 0;
+    if (x_scu > 0 && f->map_cod[y_scu * w_scu + x_scu - 1] &&
+        !f->map_if[y_scu * w_scu + x_scu - 1])
+        avail_le = 1;
+    if (y_scu > 0) {
+        if (!f->map_if[(y_scu - 1) * w_scu + x_scu])
+            avail_up = 1;
+        if (x_scu + scuw < w_scu &&
+            f->map_cod[(y_scu - 1) * w_scu + x_scu + scuw] &&
+            !f->map_if[(y_scu - 1) * w_scu + x_scu + scuw])
+            avail_ur = 1;
+    }
+#define XT_MV_AT(m, ys, xs, l, c) (m)[((((ys) * w_scu) + (xs)) * 2 + (l)) * 2 + (c)]
+    if (avail_le) {
+        mvp[0][0] = XT_MV_AT(f->map_mv, y_scu, x_scu - 1, lidx, 0);
+        mvp[0][1] = XT_MV_AT(f->map_mv, y_scu, x_scu - 1, lidx, 1);
+    } else { mvp[0][0] = 1; mvp[0][1] = 1; }
+    if (avail_up) {
+        mvp[1][0] = XT_MV_AT(f->map_mv, y_scu - 1, x_scu, lidx, 0);
+        mvp[1][1] = XT_MV_AT(f->map_mv, y_scu - 1, x_scu, lidx, 1);
+    } else { mvp[1][0] = 1; mvp[1][1] = 1; }
+    if (avail_ur) {
+        mvp[2][0] = XT_MV_AT(f->map_mv, y_scu - 1, x_scu + scuw, lidx, 0);
+        mvp[2][1] = XT_MV_AT(f->map_mv, y_scu - 1, x_scu + scuw, lidx, 1);
+    } else { mvp[2][0] = 1; mvp[2][1] = 1; }
+    const XtRefPic *r = (lidx == 0) ? f->ref0 : f->ref1;
+    if (r && r->map_mv) {
+        mvp[3][0] = XT_MV_AT(r->map_mv, y_scu, x_scu, 0, 0);
+        mvp[3][1] = XT_MV_AT(r->map_mv, y_scu, x_scu, 0, 1);
+    } else { mvp[3][0] = 0; mvp[3][1] = 0; }
+}
+
+/* temporal direct MVs (frame_pass.py _mv_dir; xeve_get_mv_dir) */
+static void xt_mv_dir(const XtFrame *f, int br_x, int br_y,
+                      int *m0x, int *m0y, int *m1x, int *m1y)
+{
+    const XtRefPic *r1 = f->ref1;
+    int w_scu = f->w_scu;
+    int mvcx = XT_MV_AT(r1->map_mv, br_y, br_x, 0, 0);
+    int mvcy = XT_MV_AT(r1->map_mv, br_y, br_x, 0, 1);
+    int dpoc_co = r1->poc - r1->list0_poc;
+    int dpoc_l0 = f->poc - f->ref0->poc;
+    int dpoc_l1 = r1->poc - f->poc;
+    if (dpoc_co == 0) { *m0x = *m0y = *m1x = *m1y = 0; return; }
+    /* C division truncates toward zero, matching the oracle's sdiv */
+    *m0x = (dpoc_l0 * mvcx) / dpoc_co;
+    *m0y = (dpoc_l0 * mvcy) / dpoc_co;
+    *m1x = (-dpoc_l1 * mvcx) / dpoc_co;
+    *m1y = (-dpoc_l1 * mvcy) / dpoc_co;
+}
+#undef XT_MV_AT
+
+/* ---- inter syntax writers (enc/syntax.py; xeve_eco.c:1123-1279) ---- */
+
+static void xt_write_mvp_idx(XtSbac *s, XtCtx *c, int idx)
+{
+    /* truncated unary, num_ctx=3, max=4 */
+    for (int i = 0; i < 3; i++) {
+        int bin = (i == idx) ? 0 : 1;
+        xt_encode_bin(s, &c->mvp_idx[i < 2 ? i : 2], bin);
+        if (!bin) return;
+    }
+}
+
+static void xt_write_abs_mvd(XtSbac *s, XtCtx *c, int val)
+{
+    uint32_t nn = (uint32_t)(val + 1) >> 1;
+    int len_i = 0;
+    while (len_i < 16 && nn != 0) { nn >>= 1; len_i++; }
+    uint32_t info = (uint32_t)(val + 1) - (1u << len_i);
+    uint32_t code = (1u << len_i) | (info & ((1u << len_i) - 1));
+    int len_c = (len_i << 1) + 1;
+    for (int i = 0; i < len_c; i++) {
+        int bin = (code >> (len_c - 1 - i)) & 1;
+        if (i <= 1) xt_encode_bin(s, &c->mvd[0], bin);
+        else        xt_encode_bin_ep(s, bin);
+    }
+}
+
+static void xt_write_mvd(XtSbac *s, XtCtx *c, int mvd_x, int mvd_y)
+{
+    int v[2] = { mvd_x, mvd_y };
+    for (int i = 0; i < 2; i++) {
+        int a = v[i] < 0 ? -v[i] : v[i];
+        xt_write_abs_mvd(s, c, a);
+        if (a) xt_encode_bin_ep(s, v[i] < 0 ? 1 : 0);
+    }
+}
+
+static int xt_mvd_bits_est(int mvd_x, int mvd_y)
+{
+    int bits = 0, v[2] = { mvd_x, mvd_y };
+    for (int i = 0; i < 2; i++) {
+        int a = v[i] < 0 ? -v[i] : v[i];
+        uint32_t nn = (uint32_t)(a + 1) >> 1;
+        int len_i = 0;
+        while (len_i < 16 && nn != 0) { nn >>= 1; len_i++; }
+        bits += 2 * len_i + 1 + (a ? 1 : 0);
+    }
+    return bits;
+}
+
+static void xt_write_cbf_inter(XtSbac *s, XtCtx *c, int cy, int cu, int cv)
+{
+    int all = (cy || cu || cv) ? 1 : 0;
+    xt_encode_bin(s, c->cbf_all, all);
+    if (!all) return;
+    xt_encode_bin(s, c->cbf_cb, cu);
+    xt_encode_bin(s, c->cbf_cr, cv);
+    if (cu + cv != 0) xt_encode_bin(s, c->cbf_luma, cy);
+}
+
+/* ---- per-frame CU work buffers ---- */
+
+typedef struct {
+    int32_t skip_py[4096], skip_pu[1024], skip_pv[1024];
+    int32_t c1_py[4096], c1_pu[1024], c1_pv[1024];
+    int32_t c2_py[4096], c2_pu[1024], c2_pv[1024];
+    int32_t dir_ry[4096], dir_ru[1024], dir_rv[1024];
+    int32_t dir_ly[4096], dir_lu[1024], dir_lv[1024];
+    int32_t ib_py[4096], ib_pu[1024], ib_pv[1024];
+    int32_t in_ry[4096], in_ru[1024], in_rv[1024];
+    int32_t in_ly[4096], in_lu[1024], in_lv[1024];
+    int32_t ip_py[4096], ip_pu[1024], ip_pv[1024];
+    int32_t it_ry[4096], it_ru[1024], it_rv[1024];
+    int32_t it_ly[4096], it_lu[1024], it_lv[1024];
+    int32_t tq_resi[4096], tq_coef[4096], tq_dq[4096], tq_rr[4096];
+} XtCuWork;
+
+/* weighted prediction SSD vs original (frame_pass.py wssd) */
+static double xt_wssd(const XtFrame *f, int x, int y, int s,
+                      const int32_t *py, const int32_t *pu, const int32_t *pv)
+{
+    int W = f->cfg->w, Wc = W >> 1, xc = x >> 1, yc = y >> 1, sc = s >> 1;
+    int64_t dl = 0, du = 0, dv = 0;
+    for (int i = 0; i < s; i++)
+        for (int j = 0; j < s; j++) {
+            int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - py[i * s + j];
+            dl += d * d;
+        }
+    for (int i = 0; i < sc; i++)
+        for (int j = 0; j < sc; j++) {
+            int64_t d = (int64_t)f->ou[(yc + i) * Wc + xc + j] - pu[i * sc + j];
+            du += d * d;
+            d = (int64_t)f->ov[(yc + i) * Wc + xc + j] - pv[i * sc + j];
+            dv += d * d;
+        }
+    double r = (double)dl;
+    r += f->w_u * (double)du;
+    r += f->w_v * (double)dv;
+    return r;
+}
+
+/* closed-loop residual T/Q for the 3 channels (frame_pass.py _tq_channels);
+ * returns the weighted SSD against the original */
+static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
+    const int32_t *pred_y, const int32_t *pred_u, const int32_t *pred_v,
+    int32_t *lev_y, int32_t *lev_u, int32_t *lev_v,
+    int *nnz_y, int *nnz_u, int *nnz_v,
+    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int n = 1 << lg, bd = cfg->bd, W = cfg->w;
+    int slice_is_i = (f->slice_type == 2);
+    XtCuWork *wk = (XtCuWork *)f->scratch;
+    int32_t *resi = wk->tq_resi, *coef = wk->tq_coef;
+    int32_t *dq = wk->tq_dq, *rr = wk->tq_rr;
+    int mx = (1 << bd) - 1;
+
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+            resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
+    xt_fwd_dct2(resi, coef, lg, bd);
+    if (cfg->use_rdoq)
+        *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i);
+    else
+        *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd);
+    if (*nnz_y) {
+        xt_dequant(lev_y, dq, lg, f->qp_y, bd);
+        xt_inv_dct2(dq, rr, lg, bd);
+        for (int i = 0; i < n * n; i++) {
+            int16_t t = (int16_t)(rr[i] + pred_y[i]);
+            int32_t v = t;
+            if (v < 0) v = 0; if (v > mx) v = mx;
+            rec_y[i] = v;
+        }
+    } else {
+        for (int i = 0; i < n * n; i++) {
+            int32_t v = pred_y[i];
+            if (v < 0) v = 0; if (v > mx) v = mx;
+            rec_y[i] = v;
+        }
+    }
+
+    int nc = n >> 1, Wc = W >> 1, xc = x >> 1, yc = y >> 1;
+    const int16_t *origs[2] = { f->ou, f->ov };
+    const int32_t *preds[2] = { pred_u, pred_v };
+    int32_t *levs[2] = { lev_u, lev_v };
+    int *nnzs[2] = { nnz_u, nnz_v };
+    int32_t *recs[2] = { rec_u, rec_v };
+    int qpc[2] = { f->qp_u, f->qp_v };
+    double lamc[2] = { f->lam_u, f->lam_v };
+    for (int ch = 0; ch < 2; ch++) {
+        for (int i = 0; i < nc; i++)
+            for (int j = 0; j < nc; j++)
+                resi[i * nc + j] = (int32_t)origs[ch][(yc + i) * Wc + xc + j]
+                                   - preds[ch][i * nc + j];
+        xt_fwd_dct2(resi, coef, lg - 1, bd);
+        if (cfg->use_rdoq)
+            *nnzs[ch] = xt_rdoq(coef, levs[ch], lg - 1, qpc[ch], lamc[ch],
+                                ch + 1, bd, &f->est, slice_is_i);
+        else
+            *nnzs[ch] = xt_quant(coef, levs[ch], lg - 1, qpc[ch], slice_is_i, bd);
+        if (*nnzs[ch]) {
+            xt_dequant(levs[ch], dq, lg - 1, qpc[ch], bd);
+            xt_inv_dct2(dq, rr, lg - 1, bd);
+            for (int i = 0; i < nc * nc; i++) {
+                int16_t t = (int16_t)(rr[i] + preds[ch][i]);
+                int32_t v = t;
+                if (v < 0) v = 0; if (v > mx) v = mx;
+                recs[ch][i] = v;
+            }
+        } else {
+            for (int i = 0; i < nc * nc; i++) {
+                int32_t v = preds[ch][i];
+                if (v < 0) v = 0; if (v > mx) v = mx;
+                recs[ch][i] = v;
+            }
+        }
+    }
+
+    int64_t dl = 0, du = 0, dv = 0;
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - rec_y[i * n + j];
+            dl += d * d;
+        }
+    for (int i = 0; i < nc; i++)
+        for (int j = 0; j < nc; j++) {
+            int64_t d = (int64_t)f->ou[(yc + i) * Wc + xc + j] - rec_u[i * nc + j];
+            du += d * d;
+            d = (int64_t)f->ov[(yc + i) * Wc + xc + j] - rec_v[i * nc + j];
+            dv += d * d;
+        }
+    double ssd = (double)dl;
+    ssd += f->w_u * (double)du;
+    ssd += f->w_v * (double)dv;
+    return ssd;
+}
+
+/* bin-count proxy for RD decisions (frame_pass.py _coef_bins) */
+static int64_t xt_coef_bins(const int32_t *lev, int n2, int nnz)
+{
+    if (!nnz) return 0;
+    int64_t s = 0;
+    int last = -1, cnt = 0;
+    for (int i = 0; i < n2; i++) {
+        int32_t a = lev[i] < 0 ? -lev[i] : lev[i];
+        if (a) { cnt++; last = i; }
+        s += a;
+    }
+    return s + 2 * cnt + last + 1;
+}
+
+static void xt_best_mvp_idx(const int32_t mvl[4][2], const int *mvt,
+                            int *bi, int *bb)
+{
+    *bi = 0;
+    *bb = 1 << 30;
+    for (int idx = 0; idx < 4; idx++) {
+        int b = xt_mvd_bits_est(mvt[0] - mvl[idx][0], mvt[1] - mvl[idx][1]);
+        if (b < *bb) { *bi = idx; *bb = b; }
+    }
+}
+
+/* store an inter CU: recon copy + SCU map updates (frame_pass.py
+ * _store_cu_mv); coefficient syntax is written by the caller */
+static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
+    const int32_t *ry, const int32_t *ru, const int32_t *rv,
+    int nnz_y, int is_intra, int ipm,
+    const int *mv0, const int *mv1)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int s = 1 << lg, W = cfg->w, Wc = W >> 1;
+    int xc = x >> 1, yc = y >> 1, sc = s >> 1;
+    for (int i = 0; i < s; i++)
+        for (int j = 0; j < s; j++)
+            f->ry[(y + i) * W + x + j] = (uint16_t)ry[i * s + j];
+    for (int i = 0; i < sc; i++)
+        for (int j = 0; j < sc; j++) {
+            f->ru[(yc + i) * Wc + xc + j] = (uint16_t)ru[i * sc + j];
+            f->rv[(yc + i) * Wc + xc + j] = (uint16_t)rv[i * sc + j];
+        }
+    int ys = y >> 2, xs = x >> 2, nsc = s >> 2;
+    for (int i = 0; i < nsc; i++)
+        for (int j = 0; j < nsc; j++) {
+            int idx = (ys + i) * f->w_scu + xs + j;
+            f->map_cod[idx] = 1;
+            f->map_if[idx] = is_intra ? 1 : 0;
+            f->map_ipm[idx] = (int8_t)(is_intra ? ipm : 0);
+            f->map_cbf[idx] = nnz_y ? 1 : 0;
+            if (!is_intra) {
+                f->map_refi[idx * 2 + 0] = mv0 ? 0 : -1;
+                f->map_refi[idx * 2 + 1] = mv1 ? 0 : -1;
+                if (mv0) {
+                    f->map_mv[(idx * 2 + 0) * 2 + 0] = mv0[0];
+                    f->map_mv[(idx * 2 + 0) * 2 + 1] = mv0[1];
+                }
+                if (mv1) {
+                    f->map_mv[(idx * 2 + 1) * 2 + 0] = mv1[0];
+                    f->map_mv[(idx * 2 + 1) * 2 + 1] = mv1[1];
+                }
+            }
+        }
+    f->leaf_x[f->n_leaf] = x;
+    f->leaf_y[f->n_leaf] = y;
+    f->leaf_lg[f->n_leaf] = (int16_t)lg;
+    f->n_leaf++;
+}
+
+/* P/B-slice CU: decide among {skip, inter MVD, intra, [temporal direct]}
+ * with closed-loop costs, then code syntax + reconstruction
+ * (frame_pass.py _code_cu; xeve_pinter.c:1839 candidate structure) */
+static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int s = 1 << lg, bd = cfg->bd, W = cfg->w;
+    int x_scu = x >> 2, y_scu = y >> 2;
+    int scuw = s >> 2, scuh = s >> 2;
+    int xc = x >> 1, yc = y >> 1, sc = s >> 1;
+    int Wc = W >> 1;
+    int nbx_lg = W >> lg;
+    int ipm = f->mode_maps[lg][(y >> lg) * nbx_lg + (x >> lg)];
+    int is_b = (f->slice_type == 0) && f->ref1 != NULL;
+    double lam = f->lam;
+    XtCuWork *wk = (XtCuWork *)f->scratch;
+
+    int32_t mvp[4][2], mvp1[4][2];
+    xt_get_mvp(f, x_scu, y_scu, scuw, 0, mvp);
+    if (is_b) xt_get_mvp(f, x_scu, y_scu, scuw, 1, mvp1);
+
+    /* --- candidate 1: skip over MVP candidates (no residual) --- */
+    double skip_cost = 0;
+    int have_skip = 0, skip_idx = 0;
+    int skip_mv0[2] = {0, 0}, skip_mv1[2] = {0, 0};
+    int32_t seen0[4][2], seen1[4][2];
+    int n_seen = 0;
+    for (int idx = 0; idx < 4; idx++) {
+        int mv0x = mvp[idx][0], mv0y = mvp[idx][1];
+        int mv1x = 0, mv1y = 0;
+        if (is_b) { mv1x = mvp1[idx][0]; mv1y = mvp1[idx][1]; }
+        int dup = 0;
+        for (int k = 0; k < n_seen; k++)
+            if (seen0[k][0] == mv0x && seen0[k][1] == mv0y &&
+                (!is_b || (seen1[k][0] == mv1x && seen1[k][1] == mv1y))) {
+                dup = 1;
+                break;
+            }
+        if (dup) continue;
+        seen0[n_seen][0] = mv0x; seen0[n_seen][1] = mv0y;
+        seen1[n_seen][0] = mv1x; seen1[n_seen][1] = mv1y;
+        n_seen++;
+        if (is_b)
+            xt_mc_bi(f, x, y, s, mv0x, mv0y, mv1x, mv1y,
+                     wk->c1_py, wk->c1_pu, wk->c1_pv,
+                     wk->c2_py, wk->c2_pu, wk->c2_pv);
+        else
+            xt_mc_cu(f, f->ref0, x, y, s, mv0x, mv0y,
+                     wk->c1_py, wk->c1_pu, wk->c1_pv);
+        double cost = xt_wssd(f, x, y, s, wk->c1_py, wk->c1_pu, wk->c1_pv)
+                    + lam * (double)(is_b ? (2 + 2 * idx) : (2 + idx));
+        if (!have_skip || cost < skip_cost) {
+            have_skip = 1;
+            skip_cost = cost;
+            skip_idx = idx;
+            skip_mv0[0] = mv0x; skip_mv0[1] = mv0y;
+            skip_mv1[0] = mv1x; skip_mv1[1] = mv1y;
+            memcpy(wk->skip_py, wk->c1_py, sizeof(int32_t) * s * s);
+            memcpy(wk->skip_pu, wk->c1_pu, sizeof(int32_t) * sc * sc);
+            memcpy(wk->skip_pv, wk->c1_pv, sizeof(int32_t) * sc * sc);
+        }
+    }
+
+    /* --- candidate 1b (B): temporal direct, with residual --- */
+    double direct_cost = 0;
+    int have_direct = 0;
+    int dmv0[2] = {0, 0}, dmv1[2] = {0, 0};
+    int dn_y = 0, dn_u = 0, dn_v = 0;
+    if (is_b) {
+        int brx = x_scu + scuw - 1;
+        if (brx > f->w_scu - 1) brx = f->w_scu - 1;
+        int bry = y_scu + scuh - 1;
+        if (bry > f->h_scu - 1) bry = f->h_scu - 1;
+        xt_mv_dir(f, brx, bry, &dmv0[0], &dmv0[1], &dmv1[0], &dmv1[1]);
+        xt_mc_bi(f, x, y, s, dmv0[0], dmv0[1], dmv1[0], dmv1[1],
+                 wk->c1_py, wk->c1_pu, wk->c1_pv,
+                 wk->c2_py, wk->c2_pu, wk->c2_pv);
+        double dssd = xt_tq_channels(f, x, y, lg,
+                                     wk->c1_py, wk->c1_pu, wk->c1_pv,
+                                     wk->dir_ly, wk->dir_lu, wk->dir_lv,
+                                     &dn_y, &dn_u, &dn_v,
+                                     wk->dir_ry, wk->dir_ru, wk->dir_rv);
+        int64_t dbins = 3 + xt_coef_bins(wk->dir_ly, s * s, dn_y)
+                          + xt_coef_bins(wk->dir_lu, sc * sc, dn_u)
+                          + xt_coef_bins(wk->dir_lv, sc * sc, dn_v);
+        direct_cost = dssd + lam * (double)dbins;
+        have_direct = 1;
+    }
+
+    /* --- candidate 2: inter MVD (uni L0 / uni L1 / bi) + residual --- */
+    const int32_t *mvm = f->mv_maps[lg];
+    int mv_me0[2] = { mvm[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 0],
+                      mvm[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 1] };
+    int have_mv1 = is_b && f->mv1_maps && f->mv1_maps[lg];
+    int mv_me1[2] = {0, 0};
+    if (have_mv1) {
+        const int32_t *mvm1 = f->mv1_maps[lg];
+        mv_me1[0] = mvm1[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 0];
+        mv_me1[1] = mvm1[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 1];
+    }
+    int idx0, bits0, idx1 = 0, bits1 = 0;
+    xt_best_mvp_idx(mvp, mv_me0, &idx0, &bits0);
+    if (have_mv1) xt_best_mvp_idx(mvp1, mv_me1, &idx1, &bits1);
+    int n_var = have_mv1 ? 3 : 1;
+    int var_extra[3];
+    var_extra[0] = idx0 + bits0 + 2;
+    var_extra[1] = idx1 + bits1 + 2;
+    var_extra[2] = idx0 + bits0 + idx1 + bits1 + 1;
+    int best_var = 0;
+    double best_pred_ssd = 0;
+    for (int v = 0; v < n_var; v++) {
+        if (v == 0)
+            xt_mc_cu(f, f->ref0, x, y, s, mv_me0[0], mv_me0[1],
+                     wk->c1_py, wk->c1_pu, wk->c1_pv);
+        else if (v == 1)
+            xt_mc_cu(f, f->ref1, x, y, s, mv_me1[0], mv_me1[1],
+                     wk->c1_py, wk->c1_pu, wk->c1_pv);
+        else
+            xt_mc_bi(f, x, y, s, mv_me0[0], mv_me0[1], mv_me1[0], mv_me1[1],
+                     wk->c1_py, wk->c1_pu, wk->c1_pv,
+                     wk->c2_py, wk->c2_pu, wk->c2_pv);
+        double pssd = xt_wssd(f, x, y, s, wk->c1_py, wk->c1_pu, wk->c1_pv);
+        if (v == 0 || pssd < best_pred_ssd) {
+            best_var = v;
+            best_pred_ssd = pssd;
+            memcpy(wk->ib_py, wk->c1_py, sizeof(int32_t) * s * s);
+            memcpy(wk->ib_pu, wk->c1_pu, sizeof(int32_t) * sc * sc);
+            memcpy(wk->ib_pv, wk->c1_pv, sizeof(int32_t) * sc * sc);
+        }
+    }
+    int pred_dir = best_var;   /* 0=L0, 1=L1, 2=bi */
+    int in_y, in_u, in_v;
+    double ssd_i = xt_tq_channels(f, x, y, lg,
+                                  wk->ib_py, wk->ib_pu, wk->ib_pv,
+                                  wk->in_ly, wk->in_lu, wk->in_lv,
+                                  &in_y, &in_u, &in_v,
+                                  wk->in_ry, wk->in_ru, wk->in_rv);
+    int64_t bins_inter = 2 + var_extra[best_var] + 3
+        + xt_coef_bins(wk->in_ly, s * s, in_y)
+        + xt_coef_bins(wk->in_lu, sc * sc, in_u)
+        + xt_coef_bins(wk->in_lv, sc * sc, in_v);
+    double cost_inter = ssd_i + lam * (double)bins_inter;
+
+    /* --- candidate 3: intra --- */
+    int32_t up[130], left[130], ul;
+    xt_gather_nb(f->ry, W, W, cfg->h, f->map_cod, f->w_scu, f->h_scu,
+                 x, y, s, x_scu, y_scu, 4, bd, up, left, &ul);
+    xt_ipred(ipm, up, left, ul, wk->ip_py, s);
+    xt_gather_nb(f->ru, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
+                 xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
+    xt_ipred(ipm, up, left, ul, wk->ip_pu, sc);
+    xt_gather_nb(f->rv, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
+                 xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
+    xt_ipred(ipm, up, left, ul, wk->ip_pv, sc);
+    int it_y, it_u, it_v;
+    double ssd_c = xt_tq_channels(f, x, y, lg,
+                                  wk->ip_py, wk->ip_pu, wk->ip_pv,
+                                  wk->it_ly, wk->it_lu, wk->it_lv,
+                                  &it_y, &it_u, &it_v,
+                                  wk->it_ry, wk->it_ru, wk->it_rv);
+    int64_t bins_intra = 2 + 3 + 3
+        + xt_coef_bins(wk->it_ly, s * s, it_y)
+        + xt_coef_bins(wk->it_lu, sc * sc, it_u)
+        + xt_coef_bins(wk->it_lv, sc * sc, it_v);
+    double cost_intra = ssd_c + lam * (double)bins_intra;
+
+    /* --- choose (first strict minimum: skip, inter, intra, direct) --- */
+    int winner = 0;
+    double best = skip_cost;
+    if (cost_inter < best) { best = cost_inter; winner = 1; }
+    if (cost_intra < best) { best = cost_intra; winner = 2; }
+    if (have_direct && direct_cost < best) { best = direct_cost; winner = 3; }
+
+    if (winner == 0) {          /* skip */
+        xt_encode_bin(f->sbac, f->ctx->skip_flag, 1);
+        xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
+        if (is_b) xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
+        xt_store_cu_pb(f, x, y, lg, wk->skip_py, wk->skip_pu, wk->skip_pv,
+                       0, 0, 0, skip_mv0, is_b ? skip_mv1 : NULL);
+    } else if (winner == 3) {   /* temporal direct */
+        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
+        xt_encode_bin(f->sbac, f->ctx->pred_mode, 0);
+        xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 1);
+        xt_write_cbf_inter(f->sbac, f->ctx, dn_y ? 1 : 0, dn_u ? 1 : 0,
+                           dn_v ? 1 : 0);
+        if (dn_y) xt_write_coef_block(f->sbac, f->ctx, wk->dir_ly, lg, 0);
+        if (dn_u) xt_write_coef_block(f->sbac, f->ctx, wk->dir_lu, lg - 1, 1);
+        if (dn_v) xt_write_coef_block(f->sbac, f->ctx, wk->dir_lv, lg - 1, 1);
+        xt_store_cu_pb(f, x, y, lg, wk->dir_ry, wk->dir_ru, wk->dir_rv,
+                       dn_y, 0, 0, dmv0, dmv1);
+    } else if (winner == 1) {   /* inter MVD */
+        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
+        xt_encode_bin(f->sbac, f->ctx->pred_mode, 0);
+        if (is_b) {
+            xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 0);
+            if (pred_dir == 2) {
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 0);
+            } else {
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 1);
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[1],
+                              pred_dir == 1 ? 1 : 0);
+            }
+        }
+        if (pred_dir == 0 || pred_dir == 2) {
+            /* refi: single ref per list -> no bins (enc/syntax.py:93) */
+            xt_write_mvp_idx(f->sbac, f->ctx, idx0);
+            xt_write_mvd(f->sbac, f->ctx,
+                         mv_me0[0] - mvp[idx0][0], mv_me0[1] - mvp[idx0][1]);
+        }
+        if (is_b && (pred_dir == 1 || pred_dir == 2)) {
+            xt_write_mvp_idx(f->sbac, f->ctx, idx1);
+            xt_write_mvd(f->sbac, f->ctx,
+                         mv_me1[0] - mvp1[idx1][0], mv_me1[1] - mvp1[idx1][1]);
+        }
+        xt_write_cbf_inter(f->sbac, f->ctx, in_y ? 1 : 0, in_u ? 1 : 0,
+                           in_v ? 1 : 0);
+        if (in_y) xt_write_coef_block(f->sbac, f->ctx, wk->in_ly, lg, 0);
+        if (in_u) xt_write_coef_block(f->sbac, f->ctx, wk->in_lu, lg - 1, 1);
+        if (in_v) xt_write_coef_block(f->sbac, f->ctx, wk->in_lv, lg - 1, 1);
+        xt_store_cu_pb(f, x, y, lg, wk->in_ry, wk->in_ru, wk->in_rv,
+                       in_y, 0, 0,
+                       (pred_dir == 0 || pred_dir == 2) ? mv_me0 : NULL,
+                       (is_b && (pred_dir == 1 || pred_dir == 2)) ? mv_me1 : NULL);
+    } else {                    /* intra */
+        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
+        xt_encode_bin(f->sbac, f->ctx->pred_mode, 1);
+        int ipm_l = 0, ipm_u = 0;
+        if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
+            f->map_cod[y_scu * f->w_scu + x_scu - 1])
+            ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1] + 1;
+        if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
+            f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
+            ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
+        int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + ipm];
+        xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
+        xt_encode_bin(f->sbac, f->ctx->cbf_cb, it_u ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_cr, it_v ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_luma, it_y ? 1 : 0);
+        if (it_y) xt_write_coef_block(f->sbac, f->ctx, wk->it_ly, lg, 0);
+        if (it_u) xt_write_coef_block(f->sbac, f->ctx, wk->it_lu, lg - 1, 1);
+        if (it_v) xt_write_coef_block(f->sbac, f->ctx, wk->it_lv, lg - 1, 1);
+        xt_store_cu_pb(f, x, y, lg, wk->it_ry, wk->it_ru, wk->it_rv,
+                       it_y, 1, ipm, NULL, NULL);
     }
 }
 
@@ -827,6 +1611,36 @@ static void xt_df_chroma_line(uint16_t *B, uint16_t *C, int32_t a, int32_t d,
     *C = (uint16_t)(cn < 0 ? 0 : (cn > mx ? mx : cn));
 }
 
+/* boundary strength table index (ops/deblock_np.py strength_idx;
+ * reference get_tbl_qp_to_st, xeve_df.c:34-87) */
+static int xt_df_strength_idx(const XtFrame *f, int scu, int scu_n)
+{
+    if (f->map_if[scu] || f->map_if[scu_n]) return 0;
+    if (f->map_cbf[scu] || f->map_cbf[scu_n]) return 1;
+    if (!f->map_refi) return 3;
+    const int8_t *r0 = f->map_refi + scu * 2;
+    const int8_t *r1 = f->map_refi + scu_n * 2;
+    int32_t m0[2][2], m1[2][2];
+    for (int l = 0; l < 2; l++)
+        for (int c = 0; c < 2; c++) {
+            m0[l][c] = (r0[l] < 0) ? 0 : f->map_mv[(scu * 2 + l) * 2 + c];
+            m1[l][c] = (r1[l] < 0) ? 0 : f->map_mv[(scu_n * 2 + l) * 2 + c];
+        }
+#define XT_MVD4(a, b) ((a) - (b) >= 4 || (b) - (a) >= 4)
+    if (r0[0] == r1[0] && r0[1] == r1[1]) {
+        return (XT_MVD4(m0[0][0], m1[0][0]) || XT_MVD4(m0[0][1], m1[0][1]) ||
+                XT_MVD4(m0[1][0], m1[1][0]) || XT_MVD4(m0[1][1], m1[1][1]))
+               ? 2 : 3;
+    }
+    if (r0[0] == r1[1] && r0[1] == r1[0]) {
+        return (XT_MVD4(m0[0][0], m1[1][0]) || XT_MVD4(m0[0][1], m1[1][1]) ||
+                XT_MVD4(m0[1][0], m1[0][0]) || XT_MVD4(m0[1][1], m1[0][1]))
+               ? 2 : 3;
+    }
+#undef XT_MVD4
+    return 2;
+}
+
 static void xt_deblock(XtFrame *f)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -847,8 +1661,7 @@ static void xt_deblock(XtFrame *f)
                     int yy = y + i * 4;
                     int scu = (yy >> 2) * f->w_scu + (x >> 2);
                     int scu_l = scu - 1;
-                    int idx = (f->map_if[scu] || f->map_if[scu_l]) ? 0
-                              : ((f->map_cbf[scu] || f->map_cbf[scu_l]) ? 1 : 3);
+                    int idx = xt_df_strength_idx(f, scu, scu_l);
                     int st = (XT_DF_ST[idx * 52 + qp]) << bdc8;
                     if (st) {
                         for (int r = 0; r < 4; r++) {
@@ -882,8 +1695,7 @@ static void xt_deblock(XtFrame *f)
                     int xx = x + i * 4;
                     int scu = (y >> 2) * f->w_scu + (xx >> 2);
                     int scu_u = scu - f->w_scu;
-                    int idx = (f->map_if[scu] || f->map_if[scu_u]) ? 0
-                              : ((f->map_cbf[scu] || f->map_cbf[scu_u]) ? 1 : 3);
+                    int idx = xt_df_strength_idx(f, scu, scu_u);
                     int st = (XT_DF_ST[idx * 52 + qp]) << bdc8;
                     if (st) {
                         uint16_t *rA = f->ry + (y - 2) * W;
@@ -1009,5 +1821,109 @@ XT_API int xt_encode_intra_frame(
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    return (sbac.out_len <= out_cap) ? 0 : -1;
+}
+
+/* General slice coding pass (I/P/B).  Mirrors enc/frame_pass.py FramePass
+ * (itself modeled on xeve_enc.c:416-596 serial pass-2 + xeve_mode.c
+ * closed-loop decisions).  Analysis maps supply the partition, the intra
+ * mode and the per-level ME MVs; this pass makes the final per-CU choice
+ * among {skip, temporal direct, inter MVD, intra} against true
+ * reconstructed neighbours and produces the spec bitstream + recon. */
+XT_API int xt_encode_frame(
+    const XtFrameCfg *cfg,
+    int32_t slice_type, int32_t poc, int32_t pad_l,
+    const int16_t *orig_y, const int16_t *orig_u, const int16_t *orig_v,
+    const XtRefPic *ref0, const XtRefPic *ref1,
+    const uint8_t *const *split_maps,   /* [7]: lg 2..6 used */
+    const uint8_t *const *mode_maps,
+    const int32_t *const *mv_maps,      /* [7] or NULL (I slices) */
+    const int32_t *const *mv1_maps,     /* [7] or NULL */
+    uint8_t *out_bs, int64_t out_cap,
+    uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
+    int32_t *out_map_mv,                /* (h_scu, w_scu, 2, 2) */
+    int8_t *out_map_refi,               /* (h_scu, w_scu, 2) */
+    XtStats *stats)
+{
+    static int init_done = 0;
+    if (!init_done) { xt_init_entropy_bits(); init_done = 1; }
+
+    int W = cfg->w, H = cfg->h, bd = cfg->bd;
+    XtFrame f;
+    memset(&f, 0, sizeof(f));
+    f.cfg = cfg;
+    f.oy = orig_y; f.ou = orig_u; f.ov = orig_v;
+    f.ry = rec_y; f.ru = rec_u; f.rv = rec_v;
+    f.w_scu = (W + 3) >> 2;
+    f.h_scu = (H + 3) >> 2;
+    int n_scu = f.w_scu * f.h_scu;
+    f.map_cod = calloc(n_scu, 1);
+    f.map_if = calloc(n_scu, 1);
+    f.map_cbf = calloc(n_scu, 1);
+    f.map_ipm = calloc(n_scu, 1);
+    int max_leaf = (W / 4) * (H / 4) + 16;
+    f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
+    f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
+    f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+    f.n_leaf = 0;
+    f.slice_type = slice_type;
+    f.poc = poc;
+    f.pad_l = pad_l;
+    f.ref0 = ref0;
+    f.ref1 = ref1;
+    f.split_maps = split_maps;
+    f.mode_maps = mode_maps;
+    f.mv_maps = mv_maps;
+    f.mv1_maps = mv1_maps;
+    f.map_mv = out_map_mv;
+    f.map_refi = out_map_refi;
+    memset(out_map_mv, 0, sizeof(int32_t) * n_scu * 4);
+    memset(out_map_refi, -1, n_scu * 2);
+    f.scratch = malloc(sizeof(XtCuWork));
+
+    int mid = 1 << (bd - 1);
+    for (int i = 0; i < W * H; i++) rec_y[i] = mid;
+    for (int i = 0; i < (W / 2) * (H / 2); i++) { rec_u[i] = mid; rec_v[i] = mid; }
+
+    f.qp_y = cfg->qp + 6 * (bd - 8);
+    int qpu_i = cfg->qp + cfg->qp_u_off;
+    int qpv_i = cfg->qp + cfg->qp_v_off;
+    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
+    if (qpu_i > 57) qpu_i = 57;
+    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
+    if (qpv_i > 57) qpv_i = 57;
+    f.qp_u = xt_chroma_qp(qpu_i) + 6 * (bd - 8);
+    f.qp_v = xt_chroma_qp(qpv_i) + 6 * (bd - 8);
+    f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
+    f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
+    f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+    f.w_u = pow(2.0, (f.qp_y - f.qp_u) / 3.0);
+    f.w_v = pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+
+    XtSbac sbac;
+    XtCtx ctx;
+    xt_sbac_init(&sbac, out_bs, out_cap);
+    xt_ctx_init(&ctx);
+    f.sbac = &sbac;
+    f.ctx = &ctx;
+
+    int w_lcu = (W + 63) >> 6, h_lcu = (H + 63) >> 6;
+    for (int ly = 0; ly < h_lcu; ly++)
+        for (int lx = 0; lx < w_lcu; lx++) {
+            xt_rdoq_est(&ctx, &f.est);
+            xt_code_tree(&f, lx << 6, ly << 6, 6);
+        }
+    xt_encode_bin_trm(&sbac, 1);
+    xt_sbac_finish(&sbac);
+
+    if (cfg->use_deblock) xt_deblock(&f);
+
+    stats->payload_bytes = sbac.out_len;
+    stats->bin_count = sbac.bin_counter;
+    stats->n_leaf = f.n_leaf;
+
+    free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    free(f.scratch);
     return (sbac.out_len <= out_cap) ? 0 : -1;
 }
