@@ -31,13 +31,19 @@ class Encoder:
     """EVC Baseline encoder (all-intra path; inter under construction)."""
 
     def __init__(self, params: EncoderParams, analysis: str = "numpy",
-                 coder: str = "native"):
+                 coder: str = "native", me_engine: str | None = None):
         self.p = params.validate()
         self.pic_cnt = 0
         self.sps = self._make_sps()
         self.pps = self._make_pps()
         self.analysis_engine = analysis
         self.coder_engine = coder
+        if me_engine is None and analysis == "jax":
+            me_engine = "jax"     # whole inter analysis runs on device
+        if me_engine in ("jax", "pallas"):
+            # route the numpy analysis path's integer ME to the device
+            from .enc import analysis_inter_np
+            analysis_inter_np.ME_ENGINE = me_engine
         self._batch_analyzer = None
         self.dpb = []          # DPB entries (padded recon + mv map + tid)
         self.poc = 0
@@ -235,8 +241,19 @@ class Encoder:
         }
         picman_np.dpb_mark_and_insert(self.dpb, pic, is_idr)
 
-    def _encode_frame_p(self, y, u, v):
+    def _analyze_inter(self, y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
+                       refp1=None, search_range=16):
+        """Inter analysis dispatch: device (JAX/TPU) or exact-integer numpy."""
+        if self.analysis_engine == "jax":
+            from .enc.analysis_inter_jax import analyze_frame_inter_jax
+            return analyze_frame_inter_jax(y, u, v, refp, qp, qp_y, qp_u,
+                                           qp_v, bd, refp1=refp1,
+                                           search_range=search_range)
         from .enc.analysis_inter_np import analyze_frame_inter
+        return analyze_frame_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
+                                   refp1=refp1, search_range=search_range)
+
+    def _encode_frame_p(self, y, u, v):
         from .entropy.sbac import SbacEncoder, SbacCtx
         p = self.p
         bd = p.codec_bit_depth
@@ -250,7 +267,8 @@ class Encoder:
         qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
         refp = sorted([q for q in self.dpb if q.get("ref", True)],
                       key=lambda q: -q["poc"])[:1]
-        an = analyze_frame_inter(np.asarray(y, np.int32), np.asarray(u, np.int32),
+        an = self._analyze_inter(np.asarray(y, np.int32),
+                                 np.asarray(u, np.int32),
                                  np.asarray(v, np.int32), refp, qp, qp_y,
                                  qp_u, qp_v, bd,
                                  search_range=min(16, max(8, p.w // 24)))
@@ -477,7 +495,6 @@ class GopEncoder(Encoder):
         return int(np.clip(qp, 0, 51))
 
     def _encode_ra_frame(self, poc, tid, disp_idx, is_ref, slice_type):
-        from .enc.analysis_inter_np import analyze_frame_inter
         from .enc.analysis_np import analyze_frame as analyze_i
         p = self.p
         bd = p.codec_bit_depth
@@ -510,9 +527,13 @@ class GopEncoder(Encoder):
             out += self._headers()
 
         if slice_type == SLICE_I:
-            an = analyze_i(y, u, v, qp, qp_y, qp_u, qp_v, bd)
+            if self.analysis_engine == "jax":
+                from .enc.analysis_jax import analyze_frame_jax
+                an = analyze_frame_jax(y, u, v, qp, qp_y, qp_u, qp_v, bd)
+            else:
+                an = analyze_i(y, u, v, qp, qp_y, qp_u, qp_v, bd)
         else:
-            an = analyze_frame_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
+            an = self._analyze_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
                                      refp1=refp1 if slice_type == SLICE_B else None,
                                      search_range=min(16, max(8, p.w // 24)))
         sh = SliceHeader(slice_type=slice_type, qp=qp,
