@@ -23,12 +23,14 @@ from .ops import picman_np
 CABAC_ZERO_PARAM = 32
 
 # engine selection:
-#   analysis: "jax" (TPU batched) | "numpy" (exact-integer oracle)
+#   analysis: "device" (fused single-dispatch TPU analyzer, ME against
+#             device-resident originals) | "jax" (TPU batched, ME against
+#             recon refs) | "numpy" (exact-integer oracle)
 #   coding pass: "native" (C library) | "numpy" (oracle)
 
 
 class Encoder:
-    """EVC Baseline encoder (all-intra path; inter under construction)."""
+    """EVC Baseline encoder (AI / low-delay / RA via GopEncoder)."""
 
     def __init__(self, params: EncoderParams, analysis: str = "numpy",
                  coder: str = "native", me_engine: str | None = None):
@@ -45,6 +47,7 @@ class Encoder:
             from .enc import analysis_inter_np
             analysis_inter_np.ME_ENGINE = me_engine
         self._batch_analyzer = None
+        self._dev = None
         self.dpb = []          # DPB entries (padded recon + mv map + tid)
         self.poc = 0
         self._gop_in = []      # pending display-order frames (RA reordering)
@@ -131,8 +134,29 @@ class Encoder:
         return self.rc.pick_qp(slice_type, depth, cpx)
 
     def _rc_update(self, slice_type: int, qp: int, nbytes: int):
+        self._last_qp = qp
         if self.rc is not None:
             self.rc.update(slice_type, qp, nbytes * 8, self._rc_cpx)
+
+    def _device(self):
+        if self._dev is None:
+            from .enc.device_analyzer import DeviceAnalyzer
+            p = self.p
+            self._dev = DeviceAnalyzer(
+                p.w_aligned, p.h_aligned, p.codec_bit_depth,
+                search_range=min(16, max(8, p.w // 24)))
+        return self._dev
+
+    def _qp_triplet(self, qp: int):
+        """(qp_y, qp_u, qp_v) at codec bit depth (xeve_enc.c:1463 set_sh)."""
+        p = self.p
+        bd = p.codec_bit_depth
+        qp_y = qp + 6 * (bd - 8)
+        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
+        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
+        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        return qp_y, qp_u, qp_v
 
     def _slice_qp(self, slice_type: int) -> int:
         """Low-delay hierarchical QP offsets (xeve_set_sh, xeve_enc.c:1496;
@@ -147,15 +171,17 @@ class Encoder:
         qp += int(np.floor(np.clip(dqp, 0.0, 3.0)))
         return int(np.clip(qp, 0, 51))
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     analysis_pre=None):
         """Encode one frame (I or low-delay P per keyint).  Inputs are 2-D
         arrays at codec bit depth.  Returns (bitstream_bytes,
-        (rec_y, rec_u, rec_v))."""
+        (rec_y, rec_u, rec_v)).  analysis_pre: decision maps already
+        computed by the pipelined stream path (encode_stream)."""
         p = self.p
         y, u, v = self._pad_input(y, u, v)
         slice_type = self._slice_type_for(self.pic_cnt)
         if slice_type == SLICE_P:
-            return self._encode_frame_p(y, u, v)
+            return self._encode_frame_p(y, u, v, analysis_pre)
         nut = NUT_IDR if (self.pic_cnt == 0 or (p.closed_gop and p.keyint == 1)) else NUT_NONIDR
 
         out = b""
@@ -166,13 +192,17 @@ class Encoder:
         if qp is None:
             qp = self._slice_qp(slice_type)
         bd = p.codec_bit_depth
-        qp_y = qp + 6 * (bd - 8)
-        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
-        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
-        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
-        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        qp_y, qp_u, qp_v = self._qp_triplet(qp)
 
-        if self.analysis_engine == "jax":
+        if analysis_pre is not None:
+            analysis = analysis_pre
+        elif self.analysis_engine == "device":
+            dev = self._device()
+            if not dev.has_frame(self.poc):
+                dev.put_frame(self.poc, y, u, v)
+            analysis = dev.collect(dev.dispatch(self.poc, qp, qp_y, qp_u,
+                                                qp_v))
+        elif self.analysis_engine == "jax":
             from .enc.analysis_jax import analyze_frame_jax
             analysis = analyze_frame_jax(y.astype(np.int16), u.astype(np.int16),
                                          v.astype(np.int16), qp, qp_y, qp_u,
@@ -253,25 +283,29 @@ class Encoder:
         return analyze_frame_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
                                    refp1=refp1, search_range=search_range)
 
-    def _encode_frame_p(self, y, u, v):
-        from .entropy.sbac import SbacEncoder, SbacCtx
+    def _encode_frame_p(self, y, u, v, analysis_pre=None):
         p = self.p
         bd = p.codec_bit_depth
         qp = self._rc_qp(SLICE_P, 2, y)
         if qp is None:
             qp = self._slice_qp(SLICE_P)
-        qp_y = qp + 6 * (bd - 8)
-        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
-        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
-        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
-        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        qp_y, qp_u, qp_v = self._qp_triplet(qp)
         refp = sorted([q for q in self.dpb if q.get("ref", True)],
                       key=lambda q: -q["poc"])[:1]
-        an = self._analyze_inter(np.asarray(y, np.int32),
-                                 np.asarray(u, np.int32),
-                                 np.asarray(v, np.int32), refp, qp, qp_y,
-                                 qp_u, qp_v, bd,
-                                 search_range=min(16, max(8, p.w // 24)))
+        if analysis_pre is not None:
+            an = analysis_pre
+        elif self.analysis_engine == "device":
+            dev = self._device()
+            if not dev.has_frame(self.poc):
+                dev.put_frame(self.poc, y, u, v)
+            an = dev.collect(dev.dispatch(self.poc, qp, qp_y, qp_u, qp_v,
+                                          ref_poc=refp[0]["poc"]))
+        else:
+            an = self._analyze_inter(np.asarray(y, np.int32),
+                                     np.asarray(u, np.int32),
+                                     np.asarray(v, np.int32), refp, qp, qp_y,
+                                     qp_u, qp_v, bd,
+                                     search_range=min(16, max(8, p.w // 24)))
         sh = SliceHeader(slice_type=SLICE_P, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
                          deblocking_filter_on=1 if p.use_deblock else 0)
@@ -393,6 +427,57 @@ class Encoder:
         t.join()
         return out
 
+    def _qp_guess(self, slice_type: int) -> int:
+        """QP used for dispatch-ahead analysis.  Exact on the fixed-QP path;
+        with rate control the final QP is re-derived at coding time and the
+        analysis decisions tolerate the small mismatch."""
+        if self.rc is None:
+            return self._slice_qp(slice_type)
+        return getattr(self, "_last_qp", self.p.qp)
+
+    def encode_stream(self, frames, ahead: int = 3):
+        """Encode an iterable of (y, u, v) frames; yields (bitstream_bytes,
+        (rec_y, rec_u, rec_v), poc) per frame in display order (AI/LD).
+
+        With the device analysis engine the fused analysis of up to `ahead`
+        future frames runs on the TPU while the native C pass codes the
+        current frame (analysis references *original* frames, so it never
+        waits for reconstruction — SURVEY.md §7.1 phase-A/phase-B overlap).
+        """
+        if self.analysis_engine != "device":
+            for (y, u, v) in frames:
+                bs, rec = self.encode_frame(y, u, v)
+                yield bs, rec, self.poc - 1
+            return
+        from collections import deque
+        dev = self._device()
+        pending = deque()
+        disp = self.pic_cnt
+
+        def dispatch(fr):
+            nonlocal disp
+            y, u, v = self._pad_input(*fr)
+            st = self._slice_type_for(disp)
+            qp = self._qp_guess(st)
+            qp_y, qp_u, qp_v = self._qp_triplet(qp)
+            dev.put_frame(disp, y, u, v)
+            ref = None if st == SLICE_I else disp - 1
+            hd = dev.dispatch(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref)
+            pending.append(((y, u, v), hd))
+            disp += 1
+
+        def code_next():
+            yuv, hd = pending.popleft()
+            bs, rec = self.encode_frame(*yuv, analysis_pre=dev.collect(hd))
+            return bs, rec, self.poc - 1
+
+        for fr in frames:
+            dispatch(fr)
+            if len(pending) > ahead:
+                yield code_next()
+        while pending:
+            yield code_next()
+
     def _cabac_zero_words(self, bin_count: int, num_bytes_in_units: int) -> bytes:
         """xeve_enc.c:553-577 conformance stuffing."""
         p = self.p
@@ -486,6 +571,61 @@ class GopEncoder(Encoder):
         self._gop_in = self._gop_in[-1:]
         return out
 
+    def encode_stream(self, frames, ahead: int = 3):
+        """RA GOP16 stream encode, coding order (bs, rec, poc) per frame.
+        With the device engine all 16 analyses of a sub-GOP are dispatched
+        up front (ME against originals; hierarchical refs L0 = poc - lowbit,
+        L1 = poc + lowbit) and the native coding pass overlaps them."""
+        p = self.p
+        if p.bframes < 15 or p.keyint == 1:
+            yield from super().encode_stream(frames, ahead)
+            return
+        if self.analysis_engine != "device":
+            for fr in frames:
+                yield from self.push_frame(*fr)
+            yield from self.flush()
+            return
+        dev = self._device()
+        for fr in frames:
+            self._gop_in.append(self._pad_input(*fr))
+            if not self._first_done:
+                bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
+                self._first_done = True
+                yield bs, rec, 0
+                continue
+            if len(self._gop_in) == 17:
+                yield from self._encode_subgop_pipelined(dev)
+        yield from self.flush()
+
+    def _encode_subgop_pipelined(self, dev):
+        base = self._gop_base
+        order = picman_np.ra_gop16_order(base)
+        for (poc, _tid, _is_ref) in order:
+            y, u, v = self._gop_in[poc - base]
+            dev.put_frame(poc, y, u, v)
+        handles = []
+        for (poc, tid, is_ref) in order:
+            depth = 1 if poc % 16 == 0 else tid + 1
+            qp = self._ra_qp(depth) if self.rc is None \
+                else self._qp_guess(SLICE_B)
+            qp_y, qp_u, qp_v = self._qp_triplet(qp)
+            low = poc & -poc
+            ref0 = poc - low if poc % 16 else poc - 16
+            ref1 = poc + low if poc % 16 else None
+            if ref1 is not None and (ref1 > base + 16
+                                     or not dev.has_frame(ref1)):
+                ref1 = None
+            hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
+                              ref_poc=ref0, ref1_poc=ref1)
+            handles.append((poc, tid, is_ref, hd))
+        for (poc, tid, is_ref, hd) in handles:
+            an = dev.collect(hd)
+            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                            SLICE_B, analysis_pre=an)
+            yield bs, rec, poc
+        self._gop_base = base + 16
+        self._gop_in = self._gop_in[-1:]
+
     def _ra_qp(self, depth):
         from .constants import QP_ADAPT_RA16
         off_layer, off_model, scale_model = QP_ADAPT_RA16[depth]
@@ -494,7 +634,8 @@ class GopEncoder(Encoder):
         qp += int(np.floor(np.clip(dqp, 0.0, 3.0)))
         return int(np.clip(qp, 0, 51))
 
-    def _encode_ra_frame(self, poc, tid, disp_idx, is_ref, slice_type):
+    def _encode_ra_frame(self, poc, tid, disp_idx, is_ref, slice_type,
+                         analysis_pre=None):
         from .enc.analysis_np import analyze_frame as analyze_i
         p = self.p
         bd = p.codec_bit_depth
@@ -511,11 +652,7 @@ class GopEncoder(Encoder):
         qp = self._rc_qp(slice_type, depth, y)
         if qp is None:
             qp = self._ra_qp(depth) if p.bframes >= 15 else self._slice_qp(slice_type)
-        qp_y = qp + 6 * (bd - 8)
-        qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
-        qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
-        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
-        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        qp_y, qp_u, qp_v = self._qp_triplet(qp)
 
         refp, refp1 = picman_np.build_ref_lists(
             self.dpb, poc, tid, SLICE_B, SLICE_P, slice_type,
@@ -526,7 +663,20 @@ class GopEncoder(Encoder):
         if nut == NUT_IDR:
             out += self._headers()
 
-        if slice_type == SLICE_I:
+        if analysis_pre is not None:
+            an = analysis_pre
+        elif self.analysis_engine == "device":
+            dev = self._device()
+            if not dev.has_frame(poc):
+                dev.put_frame(poc, y, u, v)
+            ref_poc = refp[0]["poc"] if (slice_type != SLICE_I and refp) \
+                else None
+            ref1_poc = refp1[0]["poc"] if (slice_type == SLICE_B and refp1) \
+                else None
+            an = dev.collect(dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
+                                          ref_poc=ref_poc,
+                                          ref1_poc=ref1_poc))
+        elif slice_type == SLICE_I:
             if self.analysis_engine == "jax":
                 from .enc.analysis_jax import analyze_frame_jax
                 an = analyze_frame_jax(y, u, v, qp, qp_y, qp_u, qp_v, bd)
@@ -536,6 +686,11 @@ class GopEncoder(Encoder):
             an = self._analyze_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
                                      refp1=refp1 if slice_type == SLICE_B else None,
                                      search_range=min(16, max(8, p.w // 24)))
+        if (slice_type == SLICE_B and refp1
+                and getattr(an, "mv1", None) is None
+                and getattr(an, "mv", None) is not None):
+            an.mv1 = {lg: m for lg, m in an.mv.items()}
+
         sh = SliceHeader(slice_type=slice_type, qp=qp,
                          qp_u_offset=p.qp_cb_offset,
                          qp_v_offset=p.qp_cr_offset,

@@ -5,6 +5,7 @@
 Examples:
   python xeve_tpu_app.py -i in.yuv -w 352 -h 288 -q 32 --keyint 1 -o out.evc
   python xeve_tpu_app.py -i in.y4m -q 30 --keyint 0 -o out.evc -r recon.yuv
+  python xeve_tpu_app.py -i in.y4m -q 30 --bframes 15 -o out.evc   # RA GOP16
 """
 import argparse
 import os
@@ -27,21 +28,26 @@ def main():
     ap.add_argument("-d", "--input-depth", type=int, default=8, choices=(8, 10))
     ap.add_argument("-I", "--keyint", type=int, default=0,
                     help="0: first frame I only; 1: all-intra; N: I every N")
+    ap.add_argument("-b", "--bframes", type=int, default=0,
+                    help="15: random-access GOP16 hierarchical B")
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
     ap.add_argument("--profile", default="baseline",
                     choices=("baseline", "main"))
+    ap.add_argument("--rc", default="cqp", choices=("cqp", "abr", "crf"))
+    ap.add_argument("--bitrate", type=int, default=0, help="kbps (abr)")
+    ap.add_argument("--crf", type=int, default=26)
     ap.add_argument("--no-deblock", action="store_true")
     ap.add_argument("--no-rdoq", action="store_true")
     ap.add_argument("--hash", action="store_true",
                     help="embed picture-signature SEI")
     ap.add_argument("--analysis", default="auto",
-                    choices=("auto", "jax", "numpy"))
+                    choices=("auto", "device", "jax", "numpy"))
     ap.add_argument("--coder", default="native", choices=("native", "numpy"))
     ap.add_argument("-v", "--verbose", type=int, default=2)
     args = ap.parse_args()
 
     from xeve_tpu.io.video import open_video, write_recon_frame
-    from xeve_tpu.api import Encoder, psnr
+    from xeve_tpu.api import Encoder, GopEncoder, psnr
     from xeve_tpu.params import EncoderParams
 
     reader = open_video(args.input, args.width, args.height, args.input_depth)
@@ -51,39 +57,61 @@ def main():
     if analysis == "auto":
         try:
             import jax
-            analysis = "jax" if jax.devices()[0].platform != "cpu" else "numpy"
+            analysis = "device" if jax.devices()[0].platform != "cpu" \
+                else "numpy"
         except Exception:
             analysis = "numpy"
 
-    enc = Encoder(EncoderParams(
-        w=w, h=h, qp=args.qp, keyint=args.keyint,
+    params = EncoderParams(
+        w=w, h=h, qp=args.qp, keyint=args.keyint, bframes=args.bframes,
         profile=1 if args.profile == "main" else 0,
+        rc_type=args.rc if args.rc != "cqp" else "cq",
+        bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
-        use_pic_sign=args.hash), analysis=analysis, coder=args.coder)
+        use_pic_sign=args.hash)
+    cls = GopEncoder if args.bframes >= 15 else Encoder
+    enc = cls(params, analysis=analysis, coder=args.coder)
 
     fo = open(args.output, "wb") if args.output else None
     fr = open(args.recon, "wb") if args.recon else None
 
+    def read_frames():
+        n = 0
+        while True:
+            fr_data = reader.read_frame()
+            if fr_data is None or (args.frames and n >= args.frames):
+                return
+            yield fr_data
+            n += 1
+
+    originals = []          # display-order originals for PSNR
+    out_by_poc = {}
     n = 0
     total_bytes = 0
     psnrs = []
     t0 = time.time()
-    while True:
-        fr_data = reader.read_frame()
-        if fr_data is None or (args.frames and n >= args.frames):
-            break
-        y, u, v = fr_data
-        bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+
+    def frames_teed():
+        for f in read_frames():
+            originals.append(f[0])
+            yield f
+
+    for bs, rec, poc in enc.encode_stream(frames_teed()):
         total_bytes += len(bs)
         if fo:
             fo.write(bs)
-        if fr:
-            write_recon_frame(fr, ry, ru, rv)
-        p = psnr(ry, y)
+        p = psnr(rec[0][:originals[poc].shape[0], :originals[poc].shape[1]],
+                 originals[poc])
         psnrs.append(p)
+        if fr:
+            out_by_poc[poc] = rec
+            while n in out_by_poc:       # emit recon in display order
+                write_recon_frame(fr, *out_by_poc.pop(n))
+                n += 1
+        else:
+            n += 1
         if args.verbose >= 3:
-            print(f"frame {n}: {len(bs)} bytes  PSNR-Y {p:.2f}")
-        n += 1
+            print(f"poc {poc}: {len(bs)} bytes  PSNR-Y {p:.2f}")
     dt = time.time() - t0
     if fo:
         fo.close()
