@@ -1,0 +1,111 @@
+"""Main-profile encoder stage 1: EIPD + CM_INIT + ADCC + IQT.
+
+Pyramid: (a) ADCC entropy round-trip fuzz, (b) batched EIPD predictors vs
+the scalar conformance kernels, (c) end-to-end Main AI encode -> own
+conformance decoder bit-exact, (d) RD sanity: Main beats Baseline at equal
+settings.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATA, load_yuv8
+
+
+def test_adcc_roundtrip_fuzz():
+    from xeve_tpu.entropy.sbac import SbacEncoder, SbacDecoder, SbacCtx
+    from xeve_tpu.entropy import adcc
+    rng = np.random.RandomState(7)
+    for trial in range(120):
+        st = rng.randint(0, 3)
+        qp = rng.randint(10, 50)
+        ch = rng.randint(0, 2)
+        if ch == 0:
+            lw, lh = rng.randint(2, 7), rng.randint(2, 7)
+        else:
+            lw, lh = rng.randint(1, 6), rng.randint(1, 6)
+        w, h = 1 << lw, 1 << lh
+        lv = np.zeros((h, w), np.int32)
+        n = rng.randint(1, max(2, w * h // 3))
+        idx = rng.choice(w * h, n, replace=False)
+        vals = rng.randint(1, 40, n) * rng.choice([-1, 1], n)
+        vals[rng.rand(n) < 0.1] *= 50
+        lv.flat[idx] = vals
+        enc = SbacEncoder()
+        adcc.encode_block(enc, SbacCtx(st, qp, 1), lv, ch)
+        enc.encode_bin_trm(1)
+        dec = SbacDecoder(enc.finish())
+        out = adcc.decode_block(dec, SbacCtx(st, qp, 1), w, h, ch)
+        assert np.array_equal(out, lv), (trial, w, h, ch)
+
+
+def test_batched_eipd_preds_match_scalar():
+    from xeve_tpu.ops import intra_main_np as im
+    from xeve_tpu.ops import intra_main_batch as ib
+    rng = np.random.RandomState(3)
+    bd = 10
+    for (w, h) in [(4, 4), (8, 8), (16, 16), (64, 64), (8, 4), (2, 2)]:
+        up = rng.randint(0, 1024, (3, w + h + 1)).astype(np.int64)
+        left = rng.randint(0, 1024, (3, h + w + 1)).astype(np.int64)
+        left[:, 0] = up[:, 0]
+        for ipm in range(im.IPD_CNT):
+            got = ib.pred_mode_batch(up, left, ipm, w, h, bd)
+            for n in range(3):
+                nb = im.Nbr(up[n], left[n], im.LR_10)
+                want = im.ipred_main(ipm, nb, w, h, bd)
+                assert np.array_equal(got[n], want), (w, h, ipm)
+
+
+def test_main_ai_roundtrip_and_rd():
+    from xeve_tpu.api import Encoder, psnr
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+
+    y, u, v = load_yuv8(os.path.join(DATA, "s96.yuv"), 96, 80, 0)
+    enc = Encoder(EncoderParams(w=96, h=80, qp=30, keyint=1, profile=1,
+                                use_pic_sign=True))
+    bs, (ry, ru, rv) = enc.encode_frame(y, u, v)
+    dec = BaselineIntraDecoder()
+    frames = dec.decode(bs)
+    s = dec.sps
+    assert (s.profile_idc, s.tool_eipd, s.tool_cm_init, s.tool_adcc,
+            s.tool_iqt) == (1, 1, 1, 1, 1)
+    assert dec.signatures_checked == 1
+    assert np.array_equal(frames[0].y, ry)
+    assert np.array_equal(frames[0].u, ru)
+    assert np.array_equal(frames[0].v, rv)
+
+    # RD: Main stage 1 must beat Baseline at equal QP on this content
+    encb = Encoder(EncoderParams(w=96, h=80, qp=30, keyint=1))
+    bsb, (ryb, _, _) = encb.encode_frame(y, u, v)
+    py = psnr(np.asarray(y, np.int32), ry[:80, :96])
+    pyb = psnr(np.asarray(y, np.int32), ryb[:80, :96])
+    assert len(bs) < len(bsb) and py > pyb, \
+        f"main {len(bs)}B/{py:.2f}dB vs baseline {len(bsb)}B/{pyb:.2f}dB"
+
+
+def test_main_ai_multiframe_synthetic():
+    """3-frame 128x96 synthetic AI clip round-trips through the decoder."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.gen_test_content import gen_frame
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    enc = Encoder(EncoderParams(w=128, h=96, qp=34, keyint=1, profile=1))
+    stream = b""
+    recs = []
+    for t in range(3):
+        yy, uu, vv = gen_frame(128, 96, t)
+        bs, rec = enc.encode_frame(yy.astype(np.int32) << 2,
+                                   uu.astype(np.int32) << 2,
+                                   vv.astype(np.int32) << 2)
+        stream += bs
+        recs.append(rec)
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == 3
+    for f, (ry, ru, rv) in zip(frames, recs):
+        assert np.array_equal(f.y, ry)
+        assert np.array_equal(f.u, ru)
+        assert np.array_equal(f.v, rv)

@@ -82,6 +82,11 @@ class Encoder:
             # main profile always signals dquant (xevem_util.c:3196); our
             # PPS keeps cu_qp_delta off so the payload stays identical
             dquant_flag=1 if p.profile == 1 else 0,
+            tool_eipd=p.tool_eipd,
+            tool_cm_init=p.tool_cm_init,
+            tool_adcc=p.tool_adcc,
+            tool_iqt=p.tool_iqt,
+            tool_htdf=p.tool_htdf,
         )
 
     def _make_pps(self) -> PPS:
@@ -148,14 +153,15 @@ class Encoder:
         return self._dev
 
     def _qp_triplet(self, qp: int):
-        """(qp_y, qp_u, qp_v) at codec bit depth (xeve_enc.c:1463 set_sh)."""
+        """(qp_y, qp_u, qp_v) at codec bit depth (xeve_enc.c:1463 set_sh);
+        Main+IQT uses the main chroma QP table (xevem_tbl.c)."""
         p = self.p
         bd = p.codec_bit_depth
         qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + p.qp_cb_offset, -6 * (bd - 8), 57))
         qpv_i = int(np.clip(qp + p.qp_cr_offset, -6 * (bd - 8), 57))
-        qp_u = chroma_qp_dynamic(qpu_i) + 6 * (bd - 8)
-        qp_v = chroma_qp_dynamic(qpv_i) + 6 * (bd - 8)
+        qp_u = chroma_qp_dynamic(qpu_i, p.tool_iqt) + 6 * (bd - 8)
+        qp_v = chroma_qp_dynamic(qpv_i, p.tool_iqt) + 6 * (bd - 8)
         return qp_y, qp_u, qp_v
 
     def _slice_qp(self, slice_type: int) -> int:
@@ -193,6 +199,10 @@ class Encoder:
             qp = self._slice_qp(slice_type)
         bd = p.codec_bit_depth
         qp_y, qp_u, qp_v = self._qp_triplet(qp)
+
+        if p.tool_eipd:
+            return self._encode_frame_i_main(y, u, v, nut, out, qp,
+                                             qp_y, qp_u, qp_v, analysis_pre)
 
         if analysis_pre is not None:
             analysis = analysis_pre
@@ -244,6 +254,46 @@ class Encoder:
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)
 
+        self._rc_update(SLICE_I, qp, len(out))
+        self._prev_orig_y = np.asarray(y)
+        self._dpb_push(rec_y, rec_u, rec_v, None)
+        self.pic_cnt += 1
+        return out, (rec_y, rec_u, rec_v)
+
+    def _encode_frame_i_main(self, y, u, v, nut, out, qp, qp_y, qp_u, qp_v,
+                             analysis_pre=None):
+        """Main-profile I slice stage 1: EIPD + CM_INIT + ADCC + IQT
+        (xevem.c orchestration re-expressed; quad tree, CTU 64)."""
+        p = self.p
+        bd = p.codec_bit_depth
+        if analysis_pre is not None:
+            analysis = analysis_pre
+        else:
+            from .enc.analysis_main_np import analyze_frame_main
+            analysis = analyze_frame_main(
+                np.asarray(y, np.int32), np.asarray(u, np.int32),
+                np.asarray(v, np.int32), qp, qp_y, qp_u, qp_v, bd,
+                tool_iqt=p.tool_iqt)
+        sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                         qp_u_offset=p.qp_cb_offset,
+                         qp_v_offset=p.qp_cr_offset,
+                         deblocking_filter_on=1 if p.use_deblock else 0)
+        bw = BitWriter()
+        NalHeader(nut, 0).write(bw)
+        sh.write(bw, nut, self.sps, self.pps)
+        from .enc.main_intra_frame import MainIntraFramePass
+        sbac = SbacEncoder()
+        ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
+        fp = MainIntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
+                                p.qp_cb_offset, p.qp_cr_offset,
+                                use_rdoq=p.rdoq, use_deblock=p.use_deblock,
+                                tool_iqt=p.tool_iqt, tool_htdf=p.tool_htdf)
+        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
+        payload = bw.get_bytes() + sbac.finish()
+        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        out += wrap_nal(payload)
+        if p.use_pic_sign:
+            out += self._signature_sei(rec_y, rec_u, rec_v)
         self._rc_update(SLICE_I, qp, len(out))
         self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, None)

@@ -123,6 +123,153 @@ def rice_para(coef, blkpos, width, height, base_level):
 
 
 # ---------------------------------------------------------------------------
+# encode (xevem_eco.c:1103 xeve_eco_adcc)
+#
+# Contexts are computed on the FINAL coefficient array.  This is bit-exact
+# vs the decoder's staged evaluation because the 5-position template only
+# references strictly-later zigzag positions, which at every evaluation
+# point hold values whose predicate (!=0 / >1 / >2 / abs) already equals
+# the final one (proof: sig pass sees !=0 of final; gtA templates are
+# gtA-updated before use; gtB templates are all abs==1; rice templates are
+# remainder-finalized in loop order).
+# ---------------------------------------------------------------------------
+
+
+def _write_remain_exgolomb(sbac, symbol: int, rparam: int):
+    """code_coef_remain_exgolomb (xevem_eco.c:1018)."""
+    rng = GO_RICE_RANGE[rparam]
+    if symbol < (rng << rparam):
+        length = symbol >> rparam
+        sbac.encode_bins_ep((1 << (length + 1)) - 2, length + 1)
+        if rparam:
+            sbac.encode_bins_ep(symbol & ((1 << rparam) - 1), rparam)
+    else:
+        length = rparam
+        code_number = symbol - (rng << rparam)
+        while code_number >= (1 << length):
+            code_number -= (1 << length)
+            length += 1
+        n = rng + length + 1 - rparam
+        sbac.encode_bins_ep((1 << n) - 2, n)
+        if length:
+            sbac.encode_bins_ep(code_number, length)
+
+
+def _encode_last_xy(sbac, ctx, last_x, last_y, width, height, ch_type,
+                    cm_init):
+    """code_positionLastXY (xevem_eco.c:1042)."""
+    off = 0 if ch_type == 0 else (NUM_CTX_LAST_SIG_COEFF_LUMA if cm_init
+                                  else 11)
+    if cm_init:
+        bx, by, sx, sy = last_pos_xy_para(ch_type, width, height)
+    else:
+        bx = by = sx = sy = 0
+    gx = GROUP_IDX[last_x]
+    gy = GROUP_IDX[last_y]
+    for b in range(gx):
+        sbac.encode_bin(1, ctx.last_sig_coeff_x_prefix, off + bx + (b >> sx))
+    if gx < GROUP_IDX[width - 1]:
+        sbac.encode_bin(0, ctx.last_sig_coeff_x_prefix, off + bx + (gx >> sx))
+    for b in range(gy):
+        sbac.encode_bin(1, ctx.last_sig_coeff_y_prefix, off + by + (b >> sy))
+    if gy < GROUP_IDX[height - 1]:
+        sbac.encode_bin(0, ctx.last_sig_coeff_y_prefix, off + by + (gy >> sy))
+    if gx > 3:
+        cnt = (gx - 2) >> 1
+        sbac.encode_bins_ep(last_x - MIN_IN_GROUP[gx], cnt)
+    if gy > 3:
+        cnt = (gy - 2) >> 1
+        sbac.encode_bins_ep(last_y - MIN_IN_GROUP[gy], cnt)
+
+
+def encode_block(sbac, ctx, levels: np.ndarray, ch_type: int):
+    """Encode one TB of quantized levels ((h, w) int array, at least one
+    nonzero).  Exact inverse of decode_block."""
+    cm_init = ctx.cm_init
+    h, w = levels.shape
+    scan, _ = _scans(w, h)
+    log2_w = _log2(w)
+    log2_block_size = min(log2_w, _log2(h))
+    coef = levels.reshape(-1).astype(np.int32)
+
+    nz_scan = np.nonzero(coef[scan])[0]
+    last_pos_in_scan = int(nz_scan[-1])
+    last_blkpos = int(scan[last_pos_in_scan])
+    last_y = last_blkpos >> log2_w
+    last_x = last_blkpos - (last_y << log2_w)
+    _encode_last_xy(sbac, ctx, last_x, last_y, w, h, ch_type, cm_init)
+
+    if cm_init:
+        offset0 = (0 if log2_block_size <= 2 else
+                   NUM_CTX_SIG_COEFF_LUMA_TU << min(1, log2_block_size - 3))
+        sig_base = offset0 if ch_type == 0 else NUM_CTX_SIG_COEFF_LUMA
+        gtx_base = 0 if ch_type == 0 else NUM_CTX_GTX_LUMA
+    else:
+        sig_base = 0 if ch_type == 0 else 1
+        gtx_base = 0 if ch_type == 0 else 1
+
+    last_scan_set = last_pos_in_scan >> LOG2_CG_SIZE
+    ipos = last_pos_in_scan
+    pos_last = last_blkpos
+    for sub_set in range(last_scan_set, -1, -1):
+        sub_pos = sub_set << LOG2_CG_SIZE
+        pos = []
+        abs_coef = []
+        signs = 0
+        while ipos >= sub_pos:
+            blkpos = int(scan[ipos])
+            sig = 1 if coef[blkpos] else 0
+            if ipos != last_pos_in_scan:
+                c = (ctx_sig_coeff_inc(coef, blkpos, w, h, ch_type)
+                     if cm_init else 0)
+                sbac.encode_bin(sig, ctx.sig_coeff_flag, sig_base + c)
+            if sig:
+                pos.append(blkpos)
+                abs_coef.append(abs(int(coef[blkpos])))
+                signs = (signs << 1) | (1 if coef[blkpos] < 0 else 0)
+            ipos -= 1
+        num_nz = len(pos)
+        if num_nz == 0:
+            continue
+        n_ca = min(num_nz, CAFLAG_NUMBER)
+        first_c2_idx = -1
+        escape = False
+        for idx in range(n_ca):
+            gtA = 1 if abs_coef[idx] > 1 else 0
+            c = 0
+            if pos[idx] != pos_last and cm_init:
+                c = ctx_gtx_inc(coef, pos[idx], w, h, ch_type, 1)
+            sbac.encode_bin(gtA, ctx.coeff_abs_level_greaterAB_flag,
+                            gtx_base + c)
+            if gtA:
+                if first_c2_idx == -1:
+                    first_c2_idx = idx
+                else:
+                    escape = True
+        if first_c2_idx != -1:
+            gtB = 1 if abs_coef[first_c2_idx] > 2 else 0
+            c = 0
+            if pos[first_c2_idx] != pos_last and cm_init:
+                c = ctx_gtx_inc(coef, pos[first_c2_idx], w, h, ch_type, 2)
+            sbac.encode_bin(gtB, ctx.coeff_abs_level_greaterAB_flag,
+                            gtx_base + c)
+            if gtB:
+                escape = True
+        escape = escape or (num_nz > CAFLAG_NUMBER)
+        if escape:
+            i_first_c2 = 1
+            for idx in range(num_nz):
+                base_level = (2 + i_first_c2) if idx < CAFLAG_NUMBER else 1
+                if abs_coef[idx] >= base_level:
+                    rp = rice_para(coef, pos[idx], w, h, base_level)
+                    _write_remain_exgolomb(sbac, abs_coef[idx] - base_level,
+                                           rp)
+                if abs_coef[idx] >= 2:
+                    i_first_c2 = 0
+        sbac.encode_bins_ep(signs, num_nz)
+
+
+# ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
 

@@ -33,11 +33,35 @@ class EncoderParams:
     crf: int = 32
     qp_min: int = 0
     qp_max: int = 51
+    # Main-profile tool flags; -1 = profile default (reference defaults per
+    # xevem.c:1111 xeve_param_ppt: main enables eipd/cm_init/adcc/iqt)
+    tool_eipd: int = -1
+    tool_cm_init: int = -1
+    tool_adcc: int = -1
+    tool_iqt: int = -1
+    tool_htdf: int = -1
 
     def validate(self):
         assert self.w > 0 and self.h > 0
         assert 0 <= self.qp <= 51, f"qp {self.qp} out of range [0, 51]"
         assert self.codec_bit_depth in (10,)
+        is_main = self.profile == 1
+        if self.tool_eipd < 0:
+            self.tool_eipd = 1 if is_main else 0
+        if self.tool_cm_init < 0:
+            self.tool_cm_init = 1 if is_main else 0
+        if self.tool_adcc < 0:
+            self.tool_adcc = 1 if is_main else 0
+        if self.tool_iqt < 0:
+            self.tool_iqt = 1 if is_main else 0
+        if self.tool_htdf < 0:
+            self.tool_htdf = 0          # HTDF encode lands separately
+        if not is_main:
+            assert not (self.tool_eipd or self.tool_cm_init or self.tool_adcc
+                        or self.tool_iqt or self.tool_htdf), \
+                "Main tools require profile=1"
+        if not self.tool_cm_init:
+            assert not self.tool_adcc, "ADCC requires cm_init (SPS syntax)"
         return self
 
     @property
