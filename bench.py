@@ -1,13 +1,15 @@
-"""Benchmark: end-to-end all-intra 1080p encode, frames/s per chip.
+"""Benchmark: end-to-end encode throughput, frames/s per chip.
 
-Pipeline measured: batched TPU analysis (JAX, per-level executables) +
-native C closed-loop coding pass + bitstream assembly.  Baseline:
-xeve --profile baseline --preset medium --keyint 1 -m 1 at 1080p on CPU
-measured at 0.326 fps (see BASELINE.md; re-measure with
-tools/measure_baseline.sh).
+Three configs (BASELINE.md rows 1b/2/3, baseline-profile tools):
+  - 1080p all-intra        (batched TPU analysis + native C coding pass)
+  - 720p  low-delay P      (device analyzer pipeline + native C pass)
+  - 1080p random-access    (GOP16 hierarchical B — the metric of record)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Anchors measured from the reference build via tools/measure_baseline.sh
+(33 frames of tools/gen_test_content.py synthetic content, preset medium,
+1 thread; see BASELINE.md).
+
+Prints ONE JSON line; headline metric = 1080p RA fps/chip.
 """
 import json
 import os
@@ -18,64 +20,96 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-XEVE_1080P_AI_FPS = 0.326  # measured: xeve_app 1920x1088 AI QP32 medium, 1 thread
+# xeve --preset medium -m 1 anchors (see BASELINE.md / measure_baseline.sh)
+ANCHORS = {
+    "1080p_ai": 0.326,
+    "720p_ld": 1.548,
+    "1080p_ra": 0.425,
+}
 
-W, H = 1920, 1088
-QP = 32
-BATCH = 4
-N_FRAMES = 16
-N_BATCHES = 2
+N_FRAMES = 32
 
 
-def gen_frames(n):
+def gen_frames(w, h, n):
     from tools.gen_test_content import gen_frame
     frames = []
     for t in range(n):
-        y, u, v = gen_frame(W, H, t)
+        y, u, v = gen_frame(w, h, t)
         frames.append((y.astype(np.int16) << 2, u.astype(np.int16) << 2,
                        v.astype(np.int16) << 2))
     return frames
 
 
-def main():
-    from xeve_tpu.api import Encoder
+def psnr_y(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10.0 * np.log10(1023.0 ** 2 / mse)
+
+
+def run_config(name, w, h, keyint, bframes, analysis, frames, qp=32):
+    """Returns (fps, kbps, psnr, warm_s): one warmup pass then one timed
+    pass over `frames` via the streaming (dispatch-ahead) path."""
+    from xeve_tpu.api import Encoder, GopEncoder
     from xeve_tpu.params import EncoderParams
 
-    frames = gen_frames(N_FRAMES)
-    analysis = "jax"
+    def make():
+        p = EncoderParams(w=w, h=h, qp=qp, keyint=keyint, bframes=bframes)
+        cls = GopEncoder if bframes >= 15 else Encoder
+        return cls(p, analysis=analysis, coder="native")
+
+    # warmup (compile / persistent-cache load) on a short prefix
+    n_warm = 18 if bframes >= 15 else 6
+    t0 = time.time()
+    enc = make()
+    for _ in enc.encode_stream(iter(frames[:n_warm])):
+        pass
+    warm_s = time.time() - t0
+
+    enc = make()
+    t0 = time.time()
+    nb = 0
+    dist = []
+    n_out = 0
+    for bs, rec, poc in enc.encode_stream(iter(frames)):
+        nb += len(bs)
+        n_out += 1
+        dist.append(psnr_y(frames[poc][0], rec[0][:h, :w]))
+    dt = time.time() - t0
+    fps = n_out / dt
+    kbps = nb * 8 * 30.0 / n_out / 1000.0
+    return fps, kbps, float(np.mean(dist)), warm_s
+
+
+def main():
+    analysis = "device"
     try:
         import jax
         jax.devices()
     except Exception:
         analysis = "numpy"
 
-    enc = Encoder(EncoderParams(w=W, h=H, qp=QP, keyint=1), analysis=analysis)
-    # warmup (compile / persistent-cache load)
-    t_warm = time.time()
-    enc.encode_frames(frames[:BATCH], batch=BATCH)
-    warm_s = time.time() - t_warm
+    n = int(os.environ.get("BENCH_FRAMES", N_FRAMES))
+    frames_1080 = gen_frames(1920, 1088, n)
+    frames_720 = gen_frames(1280, 720, n)
 
-    t0 = time.time()
-    total_frames = 0
-    total_bytes = 0
-    for _ in range(N_BATCHES):
-        out = enc.encode_frames(frames, batch=BATCH)
-        total_frames += len(out)
-        total_bytes += sum(len(b) for b, _ in out)
-    dt = time.time() - t0
-    fps = total_frames / dt
+    detail = {"analysis_engine": analysis, "n_frames": n,
+              "anchors_fps_xeve_medium_1thr": ANCHORS}
+    results = {}
+    for key, w, h, ki, bf, frames in (
+            ("1080p_ai", 1920, 1088, 1, 0, frames_1080),
+            ("720p_ld", 1280, 720, 0, 0, frames_720),
+            ("1080p_ra", 1920, 1088, 0, 15, frames_1080)):
+        fps, kbps, ps, warm = run_config(key, w, h, ki, bf, analysis, frames)
+        results[key] = fps
+        detail[key] = {"fps": round(fps, 3), "kbps_at_30fps": round(kbps),
+                       "psnr_y": round(ps, 2), "warmup_s": round(warm, 1),
+                       "vs_baseline": round(fps / ANCHORS[key], 2)}
 
     print(json.dumps({
-        "metric": "1080p_allintra_encode_fps_per_chip",
-        "value": round(fps, 3),
+        "metric": "1080p_ra_encode_fps_per_chip",
+        "value": round(results["1080p_ra"], 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / XEVE_1080P_AI_FPS, 2),
-        "detail": {
-            "analysis_engine": analysis,
-            "warmup_s": round(warm_s, 1),
-            "kbps_at_30fps": round(total_bytes * 8 * 30 / total_frames / 1000, 0),
-            "baseline_fps": XEVE_1080P_AI_FPS,
-        },
+        "vs_baseline": round(results["1080p_ra"] / ANCHORS["1080p_ra"], 2),
+        "detail": detail,
     }))
 
 

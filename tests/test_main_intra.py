@@ -85,6 +85,55 @@ def test_main_ai_roundtrip_and_rd():
         f"main {len(bs)}B/{py:.2f}dB vs baseline {len(bsb)}B/{pyb:.2f}dB"
 
 
+def test_main_native_matches_oracle():
+    """Native C Main pass (EIPD+IQT+CM_INIT+ADCC) is byte-exact vs the
+    numpy MainIntraFramePass."""
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    rng = np.random.RandomState(5)
+    for (w, h, qp) in [(96, 80, 30), (64, 64, 22), (128, 96, 40)]:
+        y = rng.randint(0, 1024, (h, w)).astype(np.int32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = ((yy * 3 + xx * 2) % 900 + y // 8).clip(0, 1023)
+        u = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32)
+        v = rng.randint(0, 1024, (h // 2, w // 2)).astype(np.int32)
+        e1 = Encoder(EncoderParams(w=w, h=h, qp=qp, keyint=1, profile=1),
+                     coder="numpy")
+        e2 = Encoder(EncoderParams(w=w, h=h, qp=qp, keyint=1, profile=1),
+                     coder="native")
+        b1, r1 = e1.encode_frame(y, u, v)
+        b2, r2 = e2.encode_frame(y, u, v)
+        assert b1 == b2
+        for a, b in zip(r1, r2):
+            assert np.array_equal(a, b)
+
+
+def test_main_jax_analysis_agrees_with_numpy():
+    """JAX 33-mode analyzer decisions == numpy oracle decisions on CPU."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.gen_test_content import gen_frame
+    from xeve_tpu.constants import chroma_qp_dynamic
+    from xeve_tpu.enc.analysis_main_np import analyze_frame_main
+    from xeve_tpu.enc.analysis_main_jax import analyze_frame_main_jax
+    y, u, v = gen_frame(128, 64, 1)
+    y = y.astype(np.int32) << 2
+    u = u.astype(np.int32) << 2
+    v = v.astype(np.int32) << 2
+    qp = 32
+    qp_y = qp + 12
+    qp_u = qp_v = chroma_qp_dynamic(qp, 1) + 12
+    a1 = analyze_frame_main(y, u, v, qp, qp_y, qp_u, qp_v, 10)
+    a2 = analyze_frame_main_jax(y, u, v, qp, qp_y, qp_u, qp_v, 10)
+    for lg in range(2, 7):
+        if a1.mode[lg].size == 0:
+            continue
+        agree = (a1.mode[lg] == a2.mode[lg]).mean()
+        assert agree > 0.97, (lg, agree)
+        if lg in a1.split and a1.split[lg].size:
+            assert (a1.split[lg] == a2.split[lg]).mean() > 0.97
+
+
 def test_main_ai_multiframe_synthetic():
     """3-frame 128x96 synthetic AI clip round-trips through the decoder."""
     import sys

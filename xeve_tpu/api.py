@@ -268,6 +268,11 @@ class Encoder:
         bd = p.codec_bit_depth
         if analysis_pre is not None:
             analysis = analysis_pre
+        elif self.analysis_engine in ("jax", "device"):
+            from .enc.analysis_main_jax import analyze_frame_main_jax
+            analysis = analyze_frame_main_jax(
+                np.asarray(y, np.int16), np.asarray(u, np.int16),
+                np.asarray(v, np.int16), qp, qp_y, qp_u, qp_v, bd)
         else:
             from .enc.analysis_main_np import analyze_frame_main
             analysis = analyze_frame_main(
@@ -281,16 +286,31 @@ class Encoder:
         bw = BitWriter()
         NalHeader(nut, 0).write(bw)
         sh.write(bw, nut, self.sps, self.pps)
-        from .enc.main_intra_frame import MainIntraFramePass
-        sbac = SbacEncoder()
-        ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
-        fp = MainIntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
-                                p.qp_cb_offset, p.qp_cr_offset,
-                                use_rdoq=p.rdoq, use_deblock=p.use_deblock,
-                                tool_iqt=p.tool_iqt, tool_htdf=p.tool_htdf)
-        rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
-        payload = bw.get_bytes() + sbac.finish()
-        payload += self._cabac_zero_words(sbac.bin_counter, len(payload))
+        if self.coder_engine == "native" and not p.tool_htdf:
+            from .enc.intra_frame_native import encode_intra_frame_native
+            slice_payload, bin_count, rec_y, rec_u, rec_v = \
+                encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
+                                          p.qp_cb_offset, p.qp_cr_offset,
+                                          y, u, v, analysis,
+                                          use_rdoq=p.rdoq,
+                                          use_deblock=p.use_deblock,
+                                          main_eipd=1, tool_iqt=p.tool_iqt,
+                                          cm_init=p.tool_cm_init)
+        else:
+            from .enc.main_intra_frame import MainIntraFramePass
+            sbac = SbacEncoder()
+            ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
+            fp = MainIntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
+                                    p.qp_cb_offset, p.qp_cr_offset,
+                                    use_rdoq=p.rdoq,
+                                    use_deblock=p.use_deblock,
+                                    tool_iqt=p.tool_iqt,
+                                    tool_htdf=p.tool_htdf)
+            rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
+            slice_payload = sbac.finish()
+            bin_count = sbac.bin_counter
+        payload = bw.get_bytes() + slice_payload
+        payload += self._cabac_zero_words(bin_count, len(payload))
         out += wrap_nal(payload)
         if p.use_pic_sign:
             out += self._signature_sei(rec_y, rec_u, rec_v)

@@ -46,6 +46,12 @@ def analyze_frame_main(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
     leaf_cost = {}
     for lg in range(min_log2, max_log2 + 1):
         s = 1 << lg
+        if h // s == 0 or w // s == 0:
+            # level larger than the picture: every node is a boundary
+            # split; keep empty maps so the DP and coder skip the level
+            mode[lg] = np.zeros((max(h // s, 0), max(w // s, 0)), np.int64)
+            leaf_cost[lg] = np.full(mode[lg].shape, np.inf)
+            continue
         dY, bY = _level_modes_main(orig_y, s, qp_y, lam, bd, slice_type,
                                    tool_iqt)
         sc = s >> 1

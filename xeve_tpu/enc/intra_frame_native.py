@@ -16,11 +16,15 @@ from .analysis_np import AnalysisResult
 def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
                               orig_y, orig_u, orig_v,
                               analysis: AnalysisResult,
-                              use_rdoq=True, use_deblock=True):
-    """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v)."""
+                              use_rdoq=True, use_deblock=True,
+                              main_eipd=0, tool_iqt=0, cm_init=0):
+    """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v).  With
+    main_eipd the Main-profile stage-1 pass runs (EIPD/IQT/CM_INIT/ADCC;
+    mirrors enc/main_intra_frame.py)."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
-                     1 if use_rdoq else 0, 1 if use_deblock else 0)
+                     1 if use_rdoq else 0, 1 if use_deblock else 0,
+                     main_eipd, tool_iqt, cm_init)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -49,7 +53,9 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
         keep.append(a)
         mode_ptrs.append(p)
 
-    ret = lib.xt_encode_intra_frame(
+    fn = lib.xt_encode_main_intra_frame if main_eipd \
+        else lib.xt_encode_intra_frame
+    ret = fn(
         ctypes.byref(cfg),
         oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ou.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

@@ -17,7 +17,9 @@ class XtFrameCfg(ctypes.Structure):
     _fields_ = [("w", ctypes.c_int32), ("h", ctypes.c_int32),
                 ("bd", ctypes.c_int32), ("qp", ctypes.c_int32),
                 ("qp_u_off", ctypes.c_int32), ("qp_v_off", ctypes.c_int32),
-                ("use_rdoq", ctypes.c_int32), ("use_deblock", ctypes.c_int32)]
+                ("use_rdoq", ctypes.c_int32), ("use_deblock", ctypes.c_int32),
+                ("main_eipd", ctypes.c_int32), ("tool_iqt", ctypes.c_int32),
+                ("cm_init", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):
@@ -76,6 +78,9 @@ def get_lib():
         u16p, u16p, u16p,
         ctypes.POINTER(XtStats),
     ]
+    lib.xt_encode_main_intra_frame.restype = ctypes.c_int
+    lib.xt_encode_main_intra_frame.argtypes = \
+        lib.xt_encode_intra_frame.argtypes
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.xt_encode_frame.restype = ctypes.c_int
     lib.xt_encode_frame.argtypes = [

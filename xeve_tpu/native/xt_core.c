@@ -37,16 +37,21 @@ typedef struct {
     int64_t  out_len, out_cap;
 } XtSbac;
 
-/* context model set (Baseline subset) */
+/* context model set.  Field order MUST match gen_tables.py CTX_LAYOUT
+ * (the cm_init rows XT_CTX_INIT_I/PB are laid out by that order). */
 typedef struct {
     uint16_t split_cu_flag[1];
     uint16_t intra_dir[2];
     uint16_t cbf_luma[1], cbf_cb[1], cbf_cr[1], cbf_all[1];
     uint16_t run[24], last[2], level[24];
     uint16_t delta_qp[1];
-    /* inter syntax models (wired when inter coding lands) */
     uint16_t skip_flag[2], direct_mode_flag[1], inter_dir[2];
     uint16_t pred_mode[3], refi[2], mvp_idx[3], mvd[1];
+    /* Main profile (EIPD + ADCC) */
+    uint16_t intra_luma_pred_mpm_flag[1], intra_luma_pred_mpm_idx[1];
+    uint16_t intra_chroma_pred_mode[1];
+    uint16_t sig_coeff_flag[47], coeff_gtAB[18];
+    uint16_t last_sig_x_prefix[21], last_sig_y_prefix[21];
 } XtCtx;
 
 static void xt_ctx_init(XtCtx *c)
@@ -54,6 +59,29 @@ static void xt_ctx_init(XtCtx *c)
     uint16_t *p = (uint16_t *)c;
     size_t n = sizeof(XtCtx) / 2;
     for (size_t i = 0; i < n; i++) p[i] = 512; /* PROB_INIT */
+}
+
+/* QP-adaptive context init, sps_cm_init_flag==1 (xevem_util.c:2755);
+ * row_pb selects the P/B row of the init tables. */
+static void xt_ctx_init_cm(XtCtx *c, int row_pb, int qp)
+{
+    const int16_t *tbl = row_pb ? XT_CTX_INIT_PB : XT_CTX_INIT_I;
+    uint16_t *p = (uint16_t *)c;
+    if (qp < 0) qp = 0;
+    if (qp > 51) qp = 51;
+    for (int i = 0; i < XT_CTX_N; i++) {
+        int v = tbl[i];
+        int slope = (v & 14) << 4;
+        if (v & 1) slope = -slope;
+        int offset = ((v >> 4) & 62) << 7;
+        if ((v >> 4) & 1) offset = -offset;
+        offset += 4096;
+        int state = (slope * qp + offset) >> 4;
+        if (state < 1) state = 1;
+        if (state > 511) state = 511;
+        p[i] = (state > 256) ? (uint16_t)((512 - state) << 1)
+                             : (uint16_t)((state << 1) | 1);
+    }
 }
 
 static void xt_sbac_init(XtSbac *s, uint8_t *buf, int64_t cap)
@@ -278,11 +306,12 @@ static void xt_inv_dct2(const int32_t *coef, int32_t *resi, int lg, int bd)
     }
 }
 
-static void xt_dequant(const int32_t *lev, int32_t *out, int lg, int qp, int bd)
+static void xt_dequant(const int32_t *lev, int32_t *out, int lg, int qp, int bd,
+                       int iqt)
 {
     int n = 1 << lg;
     int log2_size = lg; /* square blocks */
-    int scale = XT_DQ_SCALE[qp % 6] << (qp / 6);
+    int scale = (iqt ? XT_DQ_SCALE_MAIN[qp % 6] : XT_DQ_SCALE[qp % 6]) << (qp / 6);
     int tr_shift = 15 - bd - log2_size;
     int shift = 20 - 14 - tr_shift;
     int64_t offset = (shift == 0) ? 0 : (1ll << (shift - 1));
@@ -296,10 +325,10 @@ static void xt_dequant(const int32_t *lev, int32_t *out, int lg, int qp, int bd)
 
 /* deadzone quant (non-RDOQ path) */
 static int xt_quant(const int32_t *coef, int32_t *lev, int lg, int qp,
-                    int slice_is_i, int bd)
+                    int slice_is_i, int bd, int iqt)
 {
     int n = 1 << lg;
-    int scale = XT_QUANT_SCALE[qp % 6];
+    int scale = iqt ? XT_QUANT_SCALE_IQT[qp % 6] : XT_QUANT_SCALE[qp % 6];
     int tr_shift = 15 - bd - lg;
     int shift = 14 + tr_shift + qp / 6;
     int64_t offset = (int64_t)(slice_is_i ? 171 : 85) << (shift - 9);
@@ -379,9 +408,9 @@ static inline int64_t xt_rate_cost(const XtRdoqEst *e, int abs_level,
     return rate * lam;
 }
 
-static int64_t xt_err_scale(int qp_rem, int log2_size, int bd)
+static int64_t xt_err_scale(int qp_rem, int log2_size, int bd, int iqt)
 {
-    int q_value = XT_QUANT_SCALE[qp_rem];
+    int q_value = iqt ? XT_QUANT_SCALE_IQT[qp_rem] : XT_QUANT_SCALE[qp_rem];
     int tr_shift = 15 - bd - log2_size;
     double es = (double)(1 << 15) * pow(2.0, -tr_shift);
     es = es / q_value / (1 << (bd - 8));
@@ -390,16 +419,16 @@ static int64_t xt_err_scale(int qp_rem, int log2_size, int bd)
 
 static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
                    double lam_f, int ch_type, int bd, const XtRdoqEst *e,
-                   int slice_is_i)
+                   int slice_is_i, int iqt)
 {
     int n = 1 << lg;
     int num = n * n;
     int qp_rem = qp % 6;
-    int q_value = XT_QUANT_SCALE[qp_rem];
+    int q_value = iqt ? XT_QUANT_SCALE_IQT[qp_rem] : XT_QUANT_SCALE[qp_rem];
     int tr_shift = 15 - bd - lg;
     int q_bits = 14 + tr_shift + qp / 6;
     int64_t lam = (int64_t)(lam_f * (double)(1 << 15) + 0.5);
-    int64_t es = xt_err_scale(qp_rem, lg, bd);
+    int64_t es = xt_err_scale(qp_rem, lg, bd, iqt);
     const uint16_t *scan = XT_SCAN[lg];
 
     /* fast zero-block check */
@@ -531,6 +560,7 @@ typedef struct {
     int32_t w, h, bd;
     int32_t qp, qp_u_off, qp_v_off;
     int32_t use_rdoq, use_deblock;
+    int32_t main_eipd, tool_iqt, cm_init;   /* Main-profile stage 1 */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -571,11 +601,11 @@ typedef struct {
     int32_t *scratch;               /* per-frame CU work buffers */
 } XtFrame;
 
-static int xt_chroma_qp(int qp)
+static int xt_chroma_qp(int qp, int iqt)
 {
     if (qp < 0) return 0;
     if (qp > 57) qp = 57;
-    return XT_QP_CHROMA[qp];
+    return iqt ? XT_QP_CHROMA_MAIN[qp] : XT_QP_CHROMA[qp];
 }
 
 /* gather neighbours: unit=4 luma / 2 chroma, per-SCU availability */
@@ -663,14 +693,14 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
     xt_fwd_dct2(resi, coef, lg, bd);
     int nnz_y;
     if (cfg->use_rdoq)
-        nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, 1);
+        nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, 1, 0);
     else
-        nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, 1, bd);
+        nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, 1, bd, 0);
     {
         int mx = (1 << bd) - 1;
         if (nnz_y) {
             int32_t dq[64 * 64], rr[64 * 64];
-            xt_dequant(lev_y, dq, lg, f->qp_y, bd);
+            xt_dequant(lev_y, dq, lg, f->qp_y, bd, 0);
             xt_inv_dct2(dq, rr, lg, bd);
             for (int i = 0; i < n; i++)
                 for (int j = 0; j < n; j++) {
@@ -709,13 +739,13 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq)
             nnzc[ch] = xt_rdoq(coef, levc[ch], lg - 1, qpc[ch], lamc[ch],
-                               ch + 1, bd, &f->est, 1);
+                               ch + 1, bd, &f->est, 1, 0);
         else
-            nnzc[ch] = xt_quant(coef, levc[ch], lg - 1, qpc[ch], 1, bd);
+            nnzc[ch] = xt_quant(coef, levc[ch], lg - 1, qpc[ch], 1, bd, 0);
         int mx = (1 << bd) - 1;
         if (nnzc[ch]) {
             int32_t dq[32 * 32], rr[32 * 32];
-            xt_dequant(levc[ch], dq, lg - 1, qpc[ch], bd);
+            xt_dequant(levc[ch], dq, lg - 1, qpc[ch], bd, 0);
             xt_inv_dct2(dq, rr, lg - 1, bd);
             for (int i = 0; i < nc; i++)
                 for (int j = 0; j < nc; j++) {
@@ -774,6 +804,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
 }
 
 static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg);
+static void xt_code_cu_main(XtFrame *f, int x, int y, int lg);
 
 static void xt_code_tree(XtFrame *f, int x, int y, int lg)
 {
@@ -798,8 +829,10 @@ static void xt_code_tree(XtFrame *f, int x, int y, int lg)
                 xt_code_tree(f, xp, yp, lg - 1);
         }
     } else {
-        if (f->slice_type == 2 || !f->ref0) xt_code_cu(f, x, y, lg);
-        else                                xt_code_cu_pb(f, x, y, lg);
+        if (f->slice_type == 2 || !f->ref0) {
+            if (cfg->main_eipd) xt_code_cu_main(f, x, y, lg);
+            else                xt_code_cu(f, x, y, lg);
+        } else xt_code_cu_pb(f, x, y, lg);
     }
 }
 
@@ -1171,11 +1204,11 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
     xt_fwd_dct2(resi, coef, lg, bd);
     if (cfg->use_rdoq)
-        *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i);
+        *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i, 0);
     else
-        *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd);
+        *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd, 0);
     if (*nnz_y) {
-        xt_dequant(lev_y, dq, lg, f->qp_y, bd);
+        xt_dequant(lev_y, dq, lg, f->qp_y, bd, 0);
         xt_inv_dct2(dq, rr, lg, bd);
         for (int i = 0; i < n * n; i++) {
             int16_t t = (int16_t)(rr[i] + pred_y[i]);
@@ -1207,11 +1240,11 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq)
             *nnzs[ch] = xt_rdoq(coef, levs[ch], lg - 1, qpc[ch], lamc[ch],
-                                ch + 1, bd, &f->est, slice_is_i);
+                                ch + 1, bd, &f->est, slice_is_i, 0);
         else
-            *nnzs[ch] = xt_quant(coef, levs[ch], lg - 1, qpc[ch], slice_is_i, bd);
+            *nnzs[ch] = xt_quant(coef, levs[ch], lg - 1, qpc[ch], slice_is_i, bd, 0);
         if (*nnzs[ch]) {
-            xt_dequant(levs[ch], dq, lg - 1, qpc[ch], bd);
+            xt_dequant(levs[ch], dq, lg - 1, qpc[ch], bd, 0);
             xt_inv_dct2(dq, rr, lg - 1, bd);
             for (int i = 0; i < nc * nc; i++) {
                 int16_t t = (int16_t)(rr[i] + preds[ch][i]);
@@ -1676,7 +1709,7 @@ static void xt_deblock(XtFrame *f)
                     if (qp_vi < -6 * bdc8) qp_vi = -6 * bdc8;
                     if (qp_vi > 57) qp_vi = 57;
                     uint16_t *cps[2] = { f->ru, f->rv };
-                    int cqp[2] = { xt_chroma_qp(qp_ui), xt_chroma_qp(qp_vi) };
+                    int cqp[2] = { xt_chroma_qp(qp_ui, f->cfg->tool_iqt), xt_chroma_qp(qp_vi, f->cfg->tool_iqt) };
                     for (int ch = 0; ch < 2; ch++) {
                         int stc = (XT_DF_ST[idx * 52 + cqp[ch]]) << bdc8;
                         if (stc) {
@@ -1712,7 +1745,7 @@ static void xt_deblock(XtFrame *f)
                     if (qp_vi < -6 * bdc8) qp_vi = -6 * bdc8;
                     if (qp_vi > 57) qp_vi = 57;
                     uint16_t *cps[2] = { f->ru, f->rv };
-                    int cqp[2] = { xt_chroma_qp(qp_ui), xt_chroma_qp(qp_vi) };
+                    int cqp[2] = { xt_chroma_qp(qp_ui, f->cfg->tool_iqt), xt_chroma_qp(qp_vi, f->cfg->tool_iqt) };
                     for (int ch = 0; ch < 2; ch++) {
                         int stc = (XT_DF_ST[idx * 52 + cqp[ch]]) << bdc8;
                         if (stc) {
@@ -1735,6 +1768,710 @@ static void xt_deblock(XtFrame *f)
 /* ------------------------------------------------------------------ */
 /* Public API                                                          */
 /* ------------------------------------------------------------------ */
+
+/* ================================================================== */
+/* Main profile stage 1: EIPD 33-mode intra + IQT + CM_INIT + ADCC     */
+/* Bit-exact counterparts of ops/intra_main_np.py, entropy/adcc.py and */
+/* enc/syntax_main.py (reference: xevem_ipred.c, xevem_eco.c:1018-1654)*/
+/* ================================================================== */
+
+/* IQT inverse DCT-2 (xevem_itdq.c:553): per-stage rounding shifts with
+ * 16-bit clamps between stages. */
+static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd)
+{
+    int n = 1 << lg;
+    const int8_t *T = XT_TM[lg];
+    static int32_t b1[64 * 64];                 /* b1[j][v] */
+    for (int j = 0; j < n; j++)
+        for (int v = 0; v < n; v++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (int64_t)coef[k * n + j] * T[k * n + v];
+            acc = (acc + 64) >> 7;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            b1[j * n + v] = (int32_t)acc;
+        }
+    int s2 = 12 - (bd - 8);
+    int64_t add = 1ll << (s2 - 1);
+    for (int v = 0; v < n; v++)
+        for (int u = 0; u < n; u++) {
+            int64_t acc = 0;
+            for (int j = 0; j < n; j++)
+                acc += (int64_t)b1[j * n + v] * T[j * n + u];
+            acc = (acc + add) >> s2;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            resi[v * n + u] = (int32_t)acc;
+        }
+}
+
+/* neighbour gather, xevem_get_nbr semantics (replicate fill; up[0] is
+ * index -1, arrays 2n+1 long) */
+static void xt_nbr_main(const uint16_t *plane, int stride,
+                        const uint8_t *map_cod, int w_scu, int h_scu,
+                        int x, int y, int n, int x_scu, int y_scu, int unit,
+                        int bd, int32_t *up, int32_t *left)
+{
+    int mid = 1 << (bd - 1);
+    int n_units = (2 * n) / unit;
+    int corner_ok = (x_scu > 0 && y_scu > 0 &&
+                     map_cod[(y_scu - 1) * w_scu + x_scu - 1]);
+    up[0] = corner_ok ? plane[(y - 1) * stride + x - 1] : mid;
+    for (int i = 0; i < n_units; i++) {
+        int ok = (y_scu > 0 && x_scu + i < w_scu &&
+                  map_cod[(y_scu - 1) * w_scu + x_scu + i]);
+        int base = 1 + i * unit;
+        if (ok)
+            for (int k = 0; k < unit; k++)
+                up[base + k] = plane[(y - 1) * stride + x + i * unit + k];
+        else
+            for (int k = 0; k < unit; k++)
+                up[base + k] = up[base - 1];
+    }
+    up[0] = corner_ok ? plane[(y - 1) * stride + x - 1] : up[1];
+    left[0] = up[0];
+    for (int i = 0; i < n_units; i++) {
+        int ok = (x_scu > 0 && y_scu + i < h_scu &&
+                  map_cod[(y_scu + i) * w_scu + x_scu - 1]);
+        int base = 1 + i * unit;
+        if (ok)
+            for (int k = 0; k < unit; k++)
+                left[base + k] = plane[(y + i * unit + k) * stride + x - 1];
+        else
+            for (int k = 0; k < unit; k++)
+                left[base + k] = left[base - 1];
+    }
+}
+
+static const int32_t XT_LUT_SIZE_P1[8] = {2048, 1365, 819, 455, 241, 124, 63, 32};
+static const int32_t XT_IB_MULT[6] = {13, 17, 5, 11, 23, 47};
+static const int32_t XT_IB_SHIFT[6] = {7, 10, 11, 15, 19, 23};
+
+/* 33-mode EIPD prediction, square n x n, left-available layouts
+ * (xevem_ipred.c:157-790; bit-exact vs ops/intra_main_np.ipred_main) */
+static void xt_ipred_main(int ipm, const int32_t *up, const int32_t *left,
+                          int32_t *pred, int n, int bd)
+{
+    int lg = 0; while ((1 << lg) < n) lg++;
+    int maxv = (1 << bd) - 1;
+    /* up/left are +1-offset: index -1 lives at [0] */
+    #define U(i) up[(i) + 1]
+    #define L(i) left[(i) + 1]
+    if (ipm == 12) {                     /* IPD_VER */
+        for (int i = 0; i < n; i++)
+            for (int j = 0; j < n; j++) pred[i * n + j] = U(j);
+        return;
+    }
+    if (ipm == 24) {                     /* IPD_HOR */
+        for (int i = 0; i < n; i++)
+            for (int j = 0; j < n; j++) pred[i * n + j] = L(i);
+        return;
+    }
+    if (ipm == 0) {                      /* DC with reciprocal LUT */
+        int64_t s = 0;
+        for (int i = 0; i < n; i++) s += L(i) + U(i);
+        s += n;                          /* (w+h)>>1 */
+        int32_t dc = (int32_t)((s * XT_LUT_SIZE_P1[0]) >> (lg + 12));
+        for (int i = 0; i < n * n; i++) pred[i] = dc;
+        return;
+    }
+    if (ipm == 1) {                      /* plane */
+        int w2 = n >> 1;
+        int idx = lg - 2 < 0 ? 0 : lg - 2;
+        int64_t im = XT_IB_MULT[idx], is = XT_IB_SHIFT[idx];
+        int64_t coef_h = 0, coef_v = 0;
+        for (int k = 1; k <= w2; k++) {
+            coef_h += (int64_t)k * (U(w2 - 1 + k) - U(w2 - 1 - k));
+            coef_v += (int64_t)k * (L(w2 - 1 + k) - L(w2 - 1 - k));
+        }
+        int64_t a = ((int64_t)L(n - 1) + U(n - 1)) << 4;
+        int64_t b = ((coef_h << 5) * im + (1ll << (is - 1))) >> is;
+        int64_t c = ((coef_v << 5) * im + (1ll << (is - 1))) >> is;
+        int64_t base = a - (w2 - 1) * c - (w2 - 1) * b + 16;
+        for (int i = 0; i < n; i++)
+            for (int j = 0; j < n; j++) {
+                int64_t v = (base + i * c + j * b) >> 5;
+                if (v < 0) v = 0; if (v > maxv) v = maxv;
+                pred[i * n + j] = (int32_t)v;
+            }
+        return;
+    }
+    if (ipm == 2) {                      /* bi-linear */
+        int ish = lg, ish_xy = 2 * lg + 1;
+        int64_t offset = 1ll << (2 * lg);
+        int64_t a = U(n), b = L(n);
+        int64_t c = (a + b + 1) >> 1;    /* square: w==h */
+        int64_t wt = (c << 1) - a - b;
+        for (int i = 0; i < n; i++) {
+            int64_t le = L(i);
+            int64_t predx_base = le << lg;
+            int64_t le_d = a - le;
+            int64_t wy = (int64_t)i * wt;
+            for (int j = 0; j < n; j++) {
+                int64_t ru = U(j);
+                int64_t refu = (ru << lg) + (b - ru) * (i + 1);
+                int64_t predx = predx_base + le_d * (j + 1);
+                int64_t v = ((predx << lg) + (refu << lg) + wy * j + offset)
+                            >> ish_xy;
+                if (v < 0) v = 0; if (v > maxv) v = maxv;
+                pred[i * n + j] = (int32_t)v;
+            }
+        }
+        (void)ish;
+        return;
+    }
+    /* angular (4-tap ADI) */
+    {
+        int32_t mt_x = XT_DXDY[ipm * 2], mt_y = XT_DXDY[ipm * 2 + 1];
+        int pos_max = 2 * n - 1;
+        #define CLIPP(p) ((p) < -1 ? -1 : ((p) > pos_max ? pos_max : (p)))
+        if (ipm < 12) {
+            for (int j = 0; j < n; j++) {
+                int t_dx = ((j + 1) * mt_x) >> 10;
+                int off = (((j + 1) * mt_x) >> 5) - (t_dx << 5);
+                const int16_t *fl = &XT_ADI[off * 4];
+                for (int i = 0; i < n; i++) {
+                    int xx = i + t_dx;
+                    int64_t v = ((int64_t)U(CLIPP(xx - 1)) * fl[0]
+                               + (int64_t)U(CLIPP(xx)) * fl[1]
+                               + (int64_t)U(CLIPP(xx + 1)) * fl[2]
+                               + (int64_t)U(CLIPP(xx + 2)) * fl[3] + 64) >> 7;
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * n + i] = (int32_t)v;
+                }
+            }
+        } else if (ipm > 24) {
+            for (int i = 0; i < n; i++) {
+                int t_dy = ((i + 1) * mt_y) >> 10;
+                int off = (((i + 1) * mt_y) >> 5) - (t_dy << 5);
+                const int16_t *fl = &XT_ADI[off * 4];
+                for (int j = 0; j < n; j++) {
+                    int yy = j + t_dy;
+                    int64_t v = ((int64_t)L(CLIPP(yy - 1)) * fl[0]
+                               + (int64_t)L(CLIPP(yy)) * fl[1]
+                               + (int64_t)L(CLIPP(yy + 1)) * fl[2]
+                               + (int64_t)L(CLIPP(yy + 2)) * fl[3] + 64) >> 7;
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * n + i] = (int32_t)v;
+                }
+            }
+        } else {
+            for (int j = 0; j < n; j++) {
+                int t_dx = ((j + 1) * mt_x) >> 10;
+                int off_u = (((j + 1) * mt_x) >> 5) - (t_dx << 5);
+                const int16_t *fu = &XT_ADI[off_u * 4];
+                for (int i = 0; i < n; i++) {
+                    int t_dy = ((i + 1) * mt_y) >> 10;
+                    int64_t v;
+                    if (j < t_dy) {
+                        int xx = i - t_dx;
+                        v = ((int64_t)U(CLIPP(xx + 1)) * fu[0]
+                           + (int64_t)U(CLIPP(xx)) * fu[1]
+                           + (int64_t)U(CLIPP(xx - 1)) * fu[2]
+                           + (int64_t)U(CLIPP(xx - 2)) * fu[3] + 64) >> 7;
+                    } else {
+                        int off_l = (((i + 1) * mt_y) >> 5) - (t_dy << 5);
+                        const int16_t *fv = &XT_ADI[off_l * 4];
+                        int yy = j - t_dy;
+                        v = ((int64_t)L(CLIPP(yy + 1)) * fv[0]
+                           + (int64_t)L(CLIPP(yy)) * fv[1]
+                           + (int64_t)L(CLIPP(yy - 1)) * fv[2]
+                           + (int64_t)L(CLIPP(yy - 2)) * fv[3] + 64) >> 7;
+                    }
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * n + i] = (int32_t)v;
+                }
+            }
+        }
+        #undef CLIPP
+    }
+    #undef U
+    #undef L
+}
+
+/* MPM / extended MPM / full ranking, no-right-neighbour subset of
+ * xevem_get_mpm.  The right SCU (y_scu, x_scu+scuw) is NEVER coded before
+ * the current CU in Morton (z-order) scan without SUCO, so the valid_r
+ * branches of the reference derivation are unreachable here (the Python
+ * oracle implements them; equality is asserted in tests). */
+static void xt_mpm_main(const XtFrame *f, int x_scu, int y_scu,
+                        int mpm[2], int ext[8], int pims[33])
+{
+    int ipm_l = 0, ipm_u = 0;                    /* IPD_DC */
+    if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
+        f->map_cod[y_scu * f->w_scu + x_scu - 1])
+        ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1];
+    if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
+        f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
+        ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu];
+    mpm[0] = ipm_l < ipm_u ? ipm_l : ipm_u;
+    mpm[1] = ipm_l < ipm_u ? ipm_u : ipm_l;
+    if (mpm[0] == mpm[1]) {
+        int m1 = mpm[1];
+        mpm[0] = 0;                              /* IPD_DC */
+        mpm[1] = (m1 == 0) ? 2 : m1;             /* IPD_BI if DC */
+    }
+    for (int i = 0; i < 8; i++) ext[i] = 0;
+    if (mpm[0] < 3 && mpm[1] < 3) {
+        if (mpm[0] == 0) ext[0] = (mpm[1] == 2) ? 1 : 2;
+        else if (mpm[0] == 1) ext[0] = 0;
+        static const int tail7[7] = {12, 24, 18, 6, 30, 16, 20};
+        for (int i = 0; i < 7; i++) ext[1 + i] = tail7[i];
+    } else if (mpm[0] < 3) {
+        if (mpm[0] == 1) { ext[0] = 2; ext[1] = 0; }
+        else { ext[0] = (mpm[0] == 2) ? 0 : 2; ext[1] = 1; }
+        int m1 = mpm[1];
+        if (m1 > 30) {
+            ext[2] = (m1 == 32) ? 31 : 32;
+            ext[3] = 30; ext[4] = 29; ext[5] = 28; ext[6] = 24; ext[7] = 18;
+        } else if (m1 < 5) {
+            ext[2] = (m1 == 3) ? 4 : 3;
+            ext[3] = 5; ext[4] = 6; ext[5] = 7; ext[6] = 12; ext[7] = 18;
+        } else {
+            ext[2] = m1 + 2; ext[3] = m1 - 2; ext[4] = m1 + 1; ext[5] = m1 - 1;
+            if (m1 >= 13 && m1 <= 23) { ext[6] = m1 - 5; ext[7] = m1 + 5; }
+            else if (m1 > 23)         { ext[6] = m1 - 5; ext[7] = m1 - 10; }
+            else                      { ext[6] = m1 + 5; ext[7] = m1 + 10; }
+        }
+    } else {
+        int m0 = mpm[0], m1 = mpm[1];
+        int lst[15];
+        lst[0] = (m0 == 3 || m0 == 4) ? m0 + 1 : m0 - 2;
+        lst[1] = (m0 == 31) ? m0 - 1 : m0 + 2;
+        lst[2] = (m1 == 4) ? m1 + 1 : m1 - 2;
+        lst[3] = (m1 == 32 || m1 == 31) ? m1 - 1 : m1 + 2;
+        lst[4] = (m0 + m1 + 1) >> 1;
+        lst[5] = (lst[4] + m0 + 1) >> 1;
+        lst[6] = (lst[4] + m1 + 1) >> 1;
+        static const int tail8[8] = {12, 24, 18, 1, 6, 30, 16, 20};
+        for (int i = 0; i < 8; i++) lst[7 + i] = tail8[i];
+        ext[0] = 2; ext[1] = 0;
+        int cnt = 2;
+        for (int i = 0; i < 15 && cnt <= 7; i++) {
+            int cand = lst[i];
+            int dup = (cand == mpm[0] || cand == mpm[1]);
+            for (int k = 0; k < cnt && !dup; k++) dup = (ext[k] == cand);
+            if (!dup) ext[cnt++] = cand;
+        }
+    }
+    /* full ranking: mpm, ext, then the default mode list */
+    {
+        uint8_t inc[33] = {0};
+        int np = 0;
+        for (int i = 0; i < 2; i++)
+            if (!inc[mpm[i]]) { inc[mpm[i]] = 1; pims[np++] = mpm[i]; }
+        for (int i = 0; i < 8; i++)
+            if (!inc[ext[i]]) { inc[ext[i]] = 1; pims[np++] = ext[i]; }
+        for (int i = 0; i < 33 && np < 33; i++) {
+            int m = XT_MODE_LIST[i];
+            if (!inc[m]) { inc[m] = 1; pims[np++] = m; }
+        }
+    }
+}
+
+/* EIPD luma direction (xevem_eco.c:1541) */
+static void xt_write_intra_dir_main(XtSbac *s, XtCtx *c, int ipm,
+                                    const int mpm[2], const int ext[8],
+                                    const int pims[33])
+{
+    if (ipm == mpm[0] || ipm == mpm[1]) {
+        xt_encode_bin(s, c->intra_luma_pred_mpm_flag, 1);
+        xt_encode_bin(s, c->intra_luma_pred_mpm_idx, ipm == mpm[0] ? 0 : 1);
+        return;
+    }
+    xt_encode_bin(s, c->intra_luma_pred_mpm_flag, 0);
+    for (int i = 0; i < 8; i++)
+        if (ipm == ext[i]) {
+            xt_encode_bin_ep(s, 1);
+            xt_encode_bin_ep(s, (i >> 2) & 1);
+            xt_encode_bin_ep(s, (i >> 1) & 1);
+            xt_encode_bin_ep(s, i & 1);
+            return;
+        }
+    xt_encode_bin_ep(s, 0);
+    int rank = 0;
+    for (int i = 0; i < 33; i++)
+        if (ipm == pims[i]) { rank = i - 10; break; }
+    /* truncated binary over 23 symbols, threshold 4 (b = 7) */
+    if (rank < 9) {
+        for (int b = 3; b >= 0; b--) xt_encode_bin_ep(s, (rank >> b) & 1);
+    } else {
+        int v = rank + 9;
+        for (int b = 4; b >= 0; b--) xt_encode_bin_ep(s, (v >> b) & 1);
+    }
+}
+
+/* chroma direction (xevem_eco.c:1598); ipm_c in chroma-mode space */
+static void xt_write_intra_dir_c_main(XtSbac *s, XtCtx *c, int ipm_c,
+                                      int ipm_l)
+{
+    if (ipm_c == 0) { xt_encode_bin(s, c->intra_chroma_pred_mode, 1); return; }
+    xt_encode_bin(s, c->intra_chroma_pred_mode, 0);
+    int conv = ipm_l, chk = 0;
+    if (ipm_l == 12) { conv = 4; chk = 1; }
+    else if (ipm_l == 24) { conv = 3; chk = 1; }
+    else if (ipm_l == 0) { conv = 2; chk = 1; }
+    else if (ipm_l == 2) { conv = 1; chk = 1; }
+    int remain = (chk && ipm_c > conv) ? ipm_c - 2 : ipm_c - 1;
+    xt_encode_bin_ep(s, remain ? 1 : 0);
+    int icounter = 1;
+    while (remain) {
+        remain--;
+        if (icounter < 4) { xt_encode_bin_ep(s, remain ? 1 : 0); icounter++; }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* ADCC coefficient coding (xevem_eco.c:1018-1277)                     */
+/* ------------------------------------------------------------------ */
+
+static inline int xt_adcc_log2(int v) { int l = 0; while (v >>= 1) l++; return l; }
+
+static int xt_ctx_template(const int32_t *coef, int blkpos, int w, int h,
+                           int mode, int thr)
+{
+    /* mode 0: count !=0; mode 1: count abs>thr; mode 2: sum abs */
+    int log2_w = xt_adcc_log2(w);
+    int pos_y = blkpos >> log2_w;
+    int pos_x = blkpos - (pos_y << log2_w);
+    int n = 0;
+    #define PRED(v) (mode == 0 ? ((v) != 0) : \
+                     mode == 1 ? (((v) < 0 ? -(v) : (v)) > thr) : \
+                                 ((v) < 0 ? -(v) : (v)))
+    if (pos_x < w - 1) {
+        n += PRED(coef[blkpos + 1]);
+        if (pos_x < w - 2) n += PRED(coef[blkpos + 2]);
+        if (pos_y < h - 1) n += PRED(coef[blkpos + w + 1]);
+    }
+    if (pos_y < h - 1) {
+        n += PRED(coef[blkpos + w]);
+        if (pos_y < h - 2) n += PRED(coef[blkpos + 2 * w]);
+    }
+    #undef PRED
+    return n;
+}
+
+static int xt_ctx_sig_inc(const int32_t *coef, int blkpos, int w, int h,
+                          int ch_type)
+{
+    int log2_w = xt_adcc_log2(w);
+    int pos_y = blkpos >> log2_w;
+    int pos_x = blkpos - (pos_y << log2_w);
+    int diag = pos_x + pos_y;
+    int n = xt_ctx_template(coef, blkpos, w, h, 0, 0);
+    int ctx_idx = (n < 4 ? n : 4) + 1;
+    if (diag < 2 && ctx_idx > 2) ctx_idx = 2;
+    int ctx_ofs = (ch_type == 0) ? (diag < 2 ? 0 : (diag < 5 ? 2 : 7))
+                                 : (diag < 2 ? 0 : 2);
+    return ctx_ofs + ctx_idx;
+}
+
+static int xt_ctx_gtx_inc(const int32_t *coef, int blkpos, int w, int h,
+                          int ch_type, int thr)
+{
+    int log2_w = xt_adcc_log2(w);
+    int pos_y = blkpos >> log2_w;
+    int pos_x = blkpos - (pos_y << log2_w);
+    int diag = pos_x + pos_y;
+    int n = xt_ctx_template(coef, blkpos, w, h, 1, thr);
+    n = (n < 3 ? n : 3) + 1;
+    if (ch_type == 0) n += (diag < 3) ? 0 : ((diag < 10) ? 4 : 8);
+    return n;
+}
+
+static int xt_rice_para(const int32_t *coef, int blkpos, int w, int h,
+                        int base_level)
+{
+    int s = xt_ctx_template(coef, blkpos, w, h, 2, 0) - 5 * base_level;
+    if (s < 0) s = 0;
+    if (s > 31) s = 31;
+    return XT_GO_RICE_PARA[s];
+}
+
+static void xt_write_remain_exg(XtSbac *s, int symbol, int rparam)
+{
+    int rng = XT_GO_RICE_RANGE[rparam];
+    if (symbol < (rng << rparam)) {
+        int length = symbol >> rparam;
+        for (int i = 0; i < length; i++) xt_encode_bin_ep(s, 1);
+        xt_encode_bin_ep(s, 0);
+        for (int b = rparam - 1; b >= 0; b--)
+            xt_encode_bin_ep(s, (symbol >> b) & 1);
+    } else {
+        int length = rparam;
+        int cn = symbol - (rng << rparam);
+        while (cn >= (1 << length)) { cn -= (1 << length); length++; }
+        int nb = rng + length + 1 - rparam;
+        for (int i = 0; i < nb - 1; i++) xt_encode_bin_ep(s, 1);
+        xt_encode_bin_ep(s, 0);
+        for (int b = length - 1; b >= 0; b--)
+            xt_encode_bin_ep(s, (cn >> b) & 1);
+    }
+}
+
+/* last-position prefix context params (xevem_util.c:2579) */
+static void xt_last_pos_para(int ch_type, int w, int h,
+                             int *bx, int *by, int *sx, int *sy)
+{
+    int cw = xt_adcc_log2(w) - 2; if (cw < 0) cw = 0;
+    int ch = xt_adcc_log2(h) - 2; if (ch < 0) ch = 0;
+    if (ch_type != 0) {
+        *bx = 0; *by = 0;
+        *sx = cw - xt_adcc_log2(w >> 4);
+        *sy = ch - xt_adcc_log2(h >> 4);
+        return;
+    }
+    *bx = cw * 3 + ((cw + 1) >> 2);
+    *by = ch * 3 + ((ch + 1) >> 2);
+    *sx = (cw + 3) >> 2;
+    *sy = (ch + 3) >> 2;
+    if (cw >= 4) { *bx += ((w >> 6) << 1) + (w >> 7); *sx = 2; }
+    if (ch >= 4) { *by += ((h >> 6) << 1) + (h >> 7); *sy = 2; }
+}
+
+static void xt_adcc_write(XtSbac *s, XtCtx *c, const int32_t *lev,
+                          int lg_w, int lg_h, int ch_type,
+                          const uint16_t *scan)
+{
+    int w = 1 << lg_w, h = 1 << lg_h;
+    int num = w * h;
+    int log2_block_size = lg_w < lg_h ? lg_w : lg_h;
+
+    int last_pos_in_scan = -1;
+    for (int sp = num - 1; sp >= 0; sp--)
+        if (lev[scan[sp]]) { last_pos_in_scan = sp; break; }
+    int last_blkpos = scan[last_pos_in_scan];
+    int last_y = last_blkpos >> lg_w;
+    int last_x = last_blkpos - (last_y << lg_w);
+
+    /* code_positionLastXY */
+    {
+        int off = (ch_type == 0) ? 0 : 18;
+        int bx, by, sx, sy;
+        xt_last_pos_para(ch_type, w, h, &bx, &by, &sx, &sy);
+        int gx = XT_GROUP_IDX[last_x], gy = XT_GROUP_IDX[last_y];
+        uint16_t *cmx = c->last_sig_x_prefix, *cmy = c->last_sig_y_prefix;
+        for (int b = 0; b < gx; b++)
+            xt_encode_bin(s, &cmx[off + bx + (b >> sx)], 1);
+        if (gx < XT_GROUP_IDX[w - 1])
+            xt_encode_bin(s, &cmx[off + bx + (gx >> sx)], 0);
+        for (int b = 0; b < gy; b++)
+            xt_encode_bin(s, &cmy[off + by + (b >> sy)], 1);
+        if (gy < XT_GROUP_IDX[h - 1])
+            xt_encode_bin(s, &cmy[off + by + (gy >> sy)], 0);
+        if (gx > 3) {
+            int cnt = (gx - 2) >> 1, v = last_x - XT_MIN_IN_GROUP[gx];
+            for (int b = cnt - 1; b >= 0; b--)
+                xt_encode_bin_ep(s, (v >> b) & 1);
+        }
+        if (gy > 3) {
+            int cnt = (gy - 2) >> 1, v = last_y - XT_MIN_IN_GROUP[gy];
+            for (int b = cnt - 1; b >= 0; b--)
+                xt_encode_bin_ep(s, (v >> b) & 1);
+        }
+    }
+
+    int offset0 = (log2_block_size <= 2) ? 0
+                  : 13 << ((log2_block_size - 3) < 1 ? (log2_block_size - 3) : 1);
+    int sig_base = (ch_type == 0) ? offset0 : 39;
+    int gtx_base = (ch_type == 0) ? 0 : 13;
+
+    int last_scan_set = last_pos_in_scan >> 4;        /* LOG2_CG_SIZE */
+    int ipos = last_pos_in_scan;
+    int pos_last = last_blkpos;
+    for (int sub_set = last_scan_set; sub_set >= 0; sub_set--) {
+        int sub_pos = sub_set << 4;
+        int pos[16], abs_coef[16];
+        int num_nz = 0;
+        uint32_t signs = 0;
+        for (; ipos >= sub_pos; ipos--) {
+            int blkpos = scan[ipos];
+            int32_t v = lev[blkpos];
+            int sig = (v != 0);
+            if (ipos != last_pos_in_scan) {
+                int cc = xt_ctx_sig_inc(lev, blkpos, w, h, ch_type);
+                xt_encode_bin(s, &c->sig_coeff_flag[sig_base + cc], sig);
+            }
+            if (sig) {
+                pos[num_nz] = blkpos;
+                abs_coef[num_nz] = v < 0 ? -v : v;
+                signs = (signs << 1) | (v < 0 ? 1u : 0u);
+                num_nz++;
+            }
+        }
+        if (num_nz == 0) continue;
+        int n_ca = num_nz < 8 ? num_nz : 8;
+        int first_c2 = -1, escape = 0;
+        for (int idx = 0; idx < n_ca; idx++) {
+            int gtA = abs_coef[idx] > 1;
+            int cc = (pos[idx] != pos_last)
+                     ? xt_ctx_gtx_inc(lev, pos[idx], w, h, ch_type, 1) : 0;
+            xt_encode_bin(s, &c->coeff_gtAB[gtx_base + cc], gtA);
+            if (gtA) { if (first_c2 == -1) first_c2 = idx; else escape = 1; }
+        }
+        if (first_c2 != -1) {
+            int gtB = abs_coef[first_c2] > 2;
+            int cc = (pos[first_c2] != pos_last)
+                     ? xt_ctx_gtx_inc(lev, pos[first_c2], w, h, ch_type, 2) : 0;
+            xt_encode_bin(s, &c->coeff_gtAB[gtx_base + cc], gtB);
+            if (gtB) escape = 1;
+        }
+        escape = escape || (num_nz > 8);
+        if (escape) {
+            int i_first_c2 = 1;
+            for (int idx = 0; idx < num_nz; idx++) {
+                int base_level = (idx < 8) ? (2 + i_first_c2) : 1;
+                if (abs_coef[idx] >= base_level) {
+                    int rp = xt_rice_para(lev, pos[idx], w, h, base_level);
+                    xt_write_remain_exg(s, abs_coef[idx] - base_level, rp);
+                }
+                if (abs_coef[idx] >= 2) i_first_c2 = 0;
+            }
+        }
+        for (int b = num_nz - 1; b >= 0; b--)
+            xt_encode_bin_ep(s, (signs >> b) & 1);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* Main intra CU coding (closed loop): EIPD + IQT + ADCC, DM chroma    */
+/* ------------------------------------------------------------------ */
+
+static void xt_code_cu_main(XtFrame *f, int x, int y, int lg)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int n = 1 << lg;
+    int bd = cfg->bd;
+    int W = cfg->w, H = cfg->h;
+    int iqt = cfg->tool_iqt;
+    int x_scu = x >> 2, y_scu = y >> 2;
+    int ipm = f->mode_maps[lg][(y >> lg) * (W >> lg) + (x >> lg)];
+    (void)H;
+
+    int32_t up[129 + 2], left[129 + 2];
+    int32_t pred_y[64 * 64], resi[64 * 64], coef[64 * 64], lev_y[64 * 64];
+    int32_t pred_c[32 * 32], lev_u[32 * 32], lev_v[32 * 32];
+
+    /* --- luma --- */
+    xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
+                x, y, n, x_scu, y_scu, 4, bd, up, left);
+    xt_ipred_main(ipm, up, left, pred_y, n, bd);
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+            resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j]
+                              - pred_y[i * n + j];
+    xt_fwd_dct2(resi, coef, lg, bd);
+    int nnz_y;
+    if (cfg->use_rdoq)
+        nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, 1,
+                        iqt);
+    else
+        nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, 1, bd, iqt);
+    {
+        int mx = (1 << bd) - 1;
+        if (nnz_y) {
+            int32_t dq[64 * 64], rr[64 * 64];
+            xt_dequant(lev_y, dq, lg, f->qp_y, bd, iqt);
+            if (iqt) xt_inv_dct2_iqt(dq, rr, lg, bd);
+            else xt_inv_dct2(dq, rr, lg, bd);
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++) {
+                    int16_t t = (int16_t)(rr[i * n + j] + pred_y[i * n + j]);
+                    int32_t v = t;
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    f->ry[(y + i) * W + x + j] = (uint16_t)v;
+                }
+        } else {
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++) {
+                    int32_t v = pred_y[i * n + j];
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    f->ry[(y + i) * W + x + j] = (uint16_t)v;
+                }
+        }
+    }
+
+    /* --- chroma (DM: luma mode at chroma size) --- */
+    int xc = x >> 1, yc = y >> 1, nc = n >> 1;
+    int Wc = W >> 1;
+    uint16_t *planes[2] = { f->ru, f->rv };
+    const int16_t *origs[2] = { f->ou, f->ov };
+    int qpc[2] = { f->qp_u, f->qp_v };
+    double lamc[2] = { f->lam_u, f->lam_v };
+    int32_t *levc[2] = { lev_u, lev_v };
+    int nnzc[2] = { 0, 0 };
+    for (int ch = 0; ch < 2; ch++) {
+        xt_nbr_main(planes[ch], Wc, f->map_cod, f->w_scu, f->h_scu,
+                    xc, yc, nc, x_scu, y_scu, 2, bd, up, left);
+        xt_ipred_main(ipm, up, left, pred_c, nc, bd);
+        for (int i = 0; i < nc; i++)
+            for (int j = 0; j < nc; j++)
+                resi[i * nc + j] = (int32_t)origs[ch][(yc + i) * Wc + xc + j]
+                                   - pred_c[i * nc + j];
+        xt_fwd_dct2(resi, coef, lg - 1, bd);
+        if (cfg->use_rdoq)
+            nnzc[ch] = xt_rdoq(coef, levc[ch], lg - 1, qpc[ch], lamc[ch],
+                               ch + 1, bd, &f->est, 1, iqt);
+        else
+            nnzc[ch] = xt_quant(coef, levc[ch], lg - 1, qpc[ch], 1, bd, iqt);
+        int mx = (1 << bd) - 1;
+        if (nnzc[ch]) {
+            int32_t dq[32 * 32], rr[32 * 32];
+            xt_dequant(levc[ch], dq, lg - 1, qpc[ch], bd, iqt);
+            if (iqt) xt_inv_dct2_iqt(dq, rr, lg - 1, bd);
+            else xt_inv_dct2(dq, rr, lg - 1, bd);
+            for (int i = 0; i < nc; i++)
+                for (int j = 0; j < nc; j++) {
+                    int16_t t = (int16_t)(rr[i * nc + j] + pred_c[i * nc + j]);
+                    int32_t v = t;
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    planes[ch][(yc + i) * Wc + xc + j] = (uint16_t)v;
+                }
+        } else {
+            for (int i = 0; i < nc; i++)
+                for (int j = 0; j < nc; j++) {
+                    int32_t v = pred_c[i * nc + j];
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    planes[ch][(yc + i) * Wc + xc + j] = (uint16_t)v;
+                }
+        }
+    }
+    int nnz_u = nnzc[0], nnz_v = nnzc[1];
+
+    /* --- syntax --- */
+    {
+        int mpm[2], ext[8], pims[33];
+        xt_mpm_main(f, x_scu, y_scu, mpm, ext, pims);
+        xt_write_intra_dir_main(f->sbac, f->ctx, ipm, mpm, ext, pims);
+        xt_write_intra_dir_c_main(f->sbac, f->ctx, 0, ipm);   /* DM */
+        xt_encode_bin(f->sbac, f->ctx->cbf_cb, nnz_u ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_cr, nnz_v ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz_y ? 1 : 0);
+        if (nnz_y) xt_adcc_write(f->sbac, f->ctx, lev_y, lg, lg, 0, XT_SCAN[lg]);
+        if (nnz_u) xt_adcc_write(f->sbac, f->ctx, lev_u, lg - 1, lg - 1, 1,
+                                 XT_SCAN[lg - 1]);
+        if (nnz_v) xt_adcc_write(f->sbac, f->ctx, lev_v, lg - 1, lg - 1, 1,
+                                 XT_SCAN[lg - 1]);
+    }
+
+    /* --- maps --- */
+    {
+        int ws = n >> 2;
+        for (int i = 0; i < ws; i++)
+            for (int j = 0; j < ws; j++) {
+                int idx = (y_scu + i) * f->w_scu + x_scu + j;
+                f->map_cod[idx] = 1;
+                f->map_if[idx] = 1;
+                f->map_ipm[idx] = (int8_t)ipm;
+                f->map_cbf[idx] = nnz_y ? 1 : 0;
+            }
+        f->leaf_x[f->n_leaf] = x;
+        f->leaf_y[f->n_leaf] = y;
+        f->leaf_lg[f->n_leaf] = (int16_t)lg;
+        f->n_leaf++;
+    }
+}
 
 typedef struct {
     int64_t payload_bytes;
@@ -1791,8 +2528,8 @@ XT_API int xt_encode_intra_frame(
     if (qpu_i > 57) qpu_i = 57;
     if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
     if (qpv_i > 57) qpv_i = 57;
-    f.qp_u = xt_chroma_qp(qpu_i) + 6 * (bd - 8);
-    f.qp_v = xt_chroma_qp(qpv_i) + 6 * (bd - 8);
+    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
     f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
     f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
@@ -1801,6 +2538,92 @@ XT_API int xt_encode_intra_frame(
     XtCtx ctx;
     xt_sbac_init(&sbac, out_bs, out_cap);
     xt_ctx_init(&ctx);
+    f.sbac = &sbac;
+    f.ctx = &ctx;
+
+    int w_lcu = (W + 63) >> 6, h_lcu = (H + 63) >> 6;
+    for (int ly = 0; ly < h_lcu; ly++)
+        for (int lx = 0; lx < w_lcu; lx++) {
+            xt_rdoq_est(&ctx, &f.est);
+            xt_code_tree(&f, lx << 6, ly << 6, 6);
+        }
+    xt_encode_bin_trm(&sbac, 1);
+    xt_sbac_finish(&sbac);
+
+    if (cfg->use_deblock) xt_deblock(&f);
+
+    stats->payload_bytes = sbac.out_len;
+    stats->bin_count = sbac.bin_counter;
+    stats->n_leaf = f.n_leaf;
+
+    free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    return (sbac.out_len <= out_cap) ? 0 : -1;
+}
+
+/* Main-profile intra slice pass (stage 1): EIPD + IQT + CM_INIT + ADCC.
+ * Mirrors enc/main_intra_frame.py MainIntraFramePass. */
+XT_API int xt_encode_main_intra_frame(
+    const XtFrameCfg *cfg,
+    const int16_t *orig_y, const int16_t *orig_u, const int16_t *orig_v,
+    const uint8_t *split2, const uint8_t *split3, const uint8_t *split4,
+    const uint8_t *split5, const uint8_t *split6,
+    const uint8_t *mode2, const uint8_t *mode3, const uint8_t *mode4,
+    const uint8_t *mode5, const uint8_t *mode6,
+    uint8_t *out_bs, int64_t out_cap,
+    uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
+    XtStats *stats)
+{
+    static int init_done = 0;
+    if (!init_done) { xt_init_entropy_bits(); init_done = 1; }
+
+    int W = cfg->w, H = cfg->h, bd = cfg->bd;
+    XtFrame f;
+    memset(&f, 0, sizeof(f));
+    f.cfg = cfg;
+    f.oy = orig_y; f.ou = orig_u; f.ov = orig_v;
+    f.ry = rec_y; f.ru = rec_u; f.rv = rec_v;
+    f.w_scu = (W + 3) >> 2;
+    f.h_scu = (H + 3) >> 2;
+    f.slice_type = 2;
+    int n_scu = f.w_scu * f.h_scu;
+    f.map_cod = calloc(n_scu, 1);
+    f.map_if = calloc(n_scu, 1);
+    f.map_cbf = calloc(n_scu, 1);
+    f.map_ipm = calloc(n_scu, 1);
+    int max_leaf = (W / 4) * (H / 4) + 16;
+    f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
+    f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
+    f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+    f.n_leaf = 0;
+
+    const uint8_t *splits[7] = {0, 0, split2, split3, split4, split5, split6};
+    const uint8_t *modes[7] = {0, 0, mode2, mode3, mode4, mode5, mode6};
+    f.split_maps = splits;
+    f.mode_maps = modes;
+
+    int mid = 1 << (bd - 1);
+    for (int i = 0; i < W * H; i++) rec_y[i] = mid;
+    for (int i = 0; i < (W / 2) * (H / 2); i++) { rec_u[i] = mid; rec_v[i] = mid; }
+
+    f.qp_y = cfg->qp + 6 * (bd - 8);
+    int qpu_i = cfg->qp + cfg->qp_u_off;
+    int qpv_i = cfg->qp + cfg->qp_v_off;
+    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
+    if (qpu_i > 57) qpu_i = 57;
+    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
+    if (qpv_i > 57) qpv_i = 57;
+    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
+    f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
+    f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+
+    XtSbac sbac;
+    XtCtx ctx;
+    xt_sbac_init(&sbac, out_bs, out_cap);
+    if (cfg->cm_init) xt_ctx_init_cm(&ctx, 0 /* I row */, cfg->qp);
+    else xt_ctx_init(&ctx);
     f.sbac = &sbac;
     f.ctx = &ctx;
 
@@ -1892,8 +2715,8 @@ XT_API int xt_encode_frame(
     if (qpu_i > 57) qpu_i = 57;
     if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
     if (qpv_i > 57) qpv_i = 57;
-    f.qp_u = xt_chroma_qp(qpu_i) + 6 * (bd - 8);
-    f.qp_v = xt_chroma_qp(qpv_i) + 6 * (bd - 8);
+    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
     f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
     f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
