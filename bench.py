@@ -20,11 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# xeve --preset medium -m 1 anchors (see BASELINE.md / measure_baseline.sh)
+# xeve --preset medium -m 1 anchors, 33 frames synthetic content, this
+# machine (see BASELINE.md / tools/measure_baseline.sh)
 ANCHORS = {
-    "1080p_ai": 0.326,
-    "720p_ld": 1.548,
-    "1080p_ra": 0.425,
+    "1080p_ai": 0.384,
+    "720p_ld": 1.239,
+    "1080p_ra": 0.671,
+    "1080p_ai_main": 0.032,
+    "1080p_ra_main": 0.049,
 }
 
 N_FRAMES = 32
@@ -45,14 +48,16 @@ def psnr_y(a, b):
     return 99.0 if mse == 0 else 10.0 * np.log10(1023.0 ** 2 / mse)
 
 
-def run_config(name, w, h, keyint, bframes, analysis, frames, qp=32):
+def run_config(name, w, h, keyint, bframes, analysis, frames, qp=32,
+               profile=0):
     """Returns (fps, kbps, psnr, warm_s): one warmup pass then one timed
     pass over `frames` via the streaming (dispatch-ahead) path."""
     from xeve_tpu.api import Encoder, GopEncoder
     from xeve_tpu.params import EncoderParams
 
     def make():
-        p = EncoderParams(w=w, h=h, qp=qp, keyint=keyint, bframes=bframes)
+        p = EncoderParams(w=w, h=h, qp=qp, keyint=keyint, bframes=bframes,
+                          profile=profile)
         cls = GopEncoder if bframes >= 15 else Encoder
         return cls(p, analysis=analysis, coder="native")
 
@@ -94,11 +99,18 @@ def main():
     detail = {"analysis_engine": analysis, "n_frames": n,
               "anchors_fps_xeve_medium_1thr": ANCHORS}
     results = {}
-    for key, w, h, ki, bf, frames in (
-            ("1080p_ai", 1920, 1088, 1, 0, frames_1080),
-            ("720p_ld", 1280, 720, 0, 0, frames_720),
-            ("1080p_ra", 1920, 1088, 0, 15, frames_1080)):
-        fps, kbps, ps, warm = run_config(key, w, h, ki, bf, analysis, frames)
+    for key, w, h, ki, bf, frames, prof in (
+            ("1080p_ai", 1920, 1088, 1, 0, frames_1080, 0),
+            ("720p_ld", 1280, 720, 0, 0, frames_720, 0),
+            ("1080p_ra", 1920, 1088, 0, 15, frames_1080, 0),
+            ("1080p_ai_main", 1920, 1088, 1, 0, frames_1080, 1),
+            ("1080p_ra_main", 1920, 1088, 0, 15, frames_1080, 1)):
+        # the fused device analyzer covers the Baseline paths; Main uses
+        # the per-frame jax analyzers (still TPU)
+        eng = analysis if prof == 0 else \
+            ("jax" if analysis == "device" else analysis)
+        fps, kbps, ps, warm = run_config(key, w, h, ki, bf, eng, frames,
+                                         profile=prof)
         results[key] = fps
         detail[key] = {"fps": round(fps, 3), "kbps_at_30fps": round(kbps),
                        "psnr_y": round(ps, 2), "warmup_s": round(warm, 1),

@@ -401,7 +401,9 @@ class Encoder:
         rec_v, map_mv)."""
         p = self.p
         bd = p.codec_bit_depth
-        if self.coder_engine == "native":
+        if self.coder_engine == "native" or p.tool_eipd:
+            # Main-tool P/B slices run natively only (the numpy FramePass
+            # oracle covers the Baseline toolset)
             from .enc.frame_native import encode_frame_native
             payload, bin_count, rec_y, rec_u, rec_v, map_mv, _refi = \
                 encode_frame_native(p.w_aligned, p.h_aligned, bd, qp,
@@ -409,7 +411,10 @@ class Encoder:
                                     slice_type, poc, y, u, v, an,
                                     refp=refp, refp1=refp1, pad_l=PAD_L,
                                     use_rdoq=p.rdoq,
-                                    use_deblock=p.use_deblock)
+                                    use_deblock=p.use_deblock,
+                                    main_eipd=p.tool_eipd,
+                                    tool_iqt=p.tool_iqt,
+                                    cm_init=p.tool_cm_init)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv
         sbac = SbacEncoder()
         ctx = SbacCtx()
@@ -747,7 +752,16 @@ class GopEncoder(Encoder):
                                           ref_poc=ref_poc,
                                           ref1_poc=ref1_poc))
         elif slice_type == SLICE_I:
-            if self.analysis_engine == "jax":
+            if p.tool_eipd:
+                if self.analysis_engine in ("jax", "device"):
+                    from .enc.analysis_main_jax import analyze_frame_main_jax
+                    an = analyze_frame_main_jax(y, u, v, qp, qp_y, qp_u,
+                                                qp_v, bd)
+                else:
+                    from .enc.analysis_main_np import analyze_frame_main
+                    an = analyze_frame_main(y, u, v, qp, qp_y, qp_u, qp_v,
+                                            bd, tool_iqt=p.tool_iqt)
+            elif self.analysis_engine == "jax":
                 from .enc.analysis_jax import analyze_frame_jax
                 an = analyze_frame_jax(y, u, v, qp, qp_y, qp_u, qp_v, bd)
             else:

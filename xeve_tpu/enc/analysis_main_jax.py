@@ -217,4 +217,6 @@ def analyze_frame_main_jax(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
     for lg, (m, c) in handles.items():
         mode[lg] = np.asarray(m)
         leaf_cost[lg] = np.asarray(c, dtype=np.float64)
-    return _partition_dp(mode, leaf_cost, h, w, lam, min_log2, max_log2)
+    res = _partition_dp(mode, leaf_cost, h, w, lam, min_log2, max_log2)
+    res.eipd_modes = True      # mode maps hold EIPD directions (0..32)
+    return res

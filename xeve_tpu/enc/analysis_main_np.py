@@ -83,5 +83,7 @@ def analyze_frame_main(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
         leafc = np.where(valid, leaf_cost[lg], np.inf)
         split[lg] = sum4 + lam < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
-    return AnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,
+    res = AnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,
                           tree_cost=tree_cost)
+    res.eipd_modes = True      # mode maps hold EIPD directions (0..32)
+    return res

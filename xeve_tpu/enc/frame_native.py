@@ -33,15 +33,22 @@ def _ref_pic(ref: dict, keep: list) -> XtRefPic:
         int(ref["poc"]), int(ref.get("list0_poc", ref["poc"])))
 
 
+# baseline intra mode -> EIPD direction (DC, HOR, VER, UL diag, UR blend);
+# used when a 5-mode analysis feeds the Main-profile coding pass
+_B2M = np.array([0, 24, 12, 18, 6], dtype=np.uint8)
+
+
 def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
                         orig_y, orig_u, orig_v, analysis,
                         refp=None, refp1=None, pad_l=80,
-                        use_rdoq=True, use_deblock=True):
+                        use_rdoq=True, use_deblock=True,
+                        main_eipd=0, tool_iqt=0, cm_init=0):
     """Code one slice natively.  Returns (payload_bytes, bin_count,
     rec_y, rec_u, rec_v, map_mv, map_refi)."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
-                     1 if use_rdoq else 0, 1 if use_deblock else 0)
+                     1 if use_rdoq else 0, 1 if use_deblock else 0,
+                     main_eipd, tool_iqt, cm_init)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -78,8 +85,12 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
             tbl[lg] = a.ctypes.data_as(_i32p)
         return tbl
 
-    split_tbl = u8_table(analysis.split, analysis.mode)
-    mode_tbl = u8_table(analysis.mode, analysis.mode)
+    mode_maps = analysis.mode
+    if main_eipd and not getattr(analysis, "eipd_modes", False):
+        mode_maps = {lg: _B2M[np.asarray(m, np.int64)]
+                     for lg, m in analysis.mode.items()}
+    split_tbl = u8_table(analysis.split, mode_maps)
+    mode_tbl = u8_table(mode_maps, mode_maps)
     mv_tbl = i32_table(getattr(analysis, "mv", None))
     mv1_tbl = i32_table(getattr(analysis, "mv1", None))
 

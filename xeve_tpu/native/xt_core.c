@@ -575,7 +575,8 @@ typedef struct {
     const XtFrameCfg *cfg;
     const int16_t *oy, *ou, *ov;
     uint16_t *ry, *ru, *rv;         /* recon planes */
-    uint8_t *map_cod, *map_if, *map_cbf;
+    uint8_t *map_cod, *map_if, *map_cbf, *map_skip;
+    int32_t cur_is_skip;
     int8_t *map_ipm;
     int32_t w_scu, h_scu;
     const uint8_t *const *split_maps;  /* [lg] -> map or NULL */
@@ -805,6 +806,24 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
 
 static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg);
 static void xt_code_cu_main(XtFrame *f, int x, int y, int lg);
+/* Main-profile helpers (defined in the Main section below) */
+static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd);
+static void xt_nbr_main(const uint16_t *plane, int stride,
+                        const uint8_t *map_cod, int w_scu, int h_scu,
+                        int x, int y, int n, int x_scu, int y_scu, int unit,
+                        int bd, int32_t *up, int32_t *left);
+static void xt_ipred_main(int ipm, const int32_t *up, const int32_t *left,
+                          int32_t *pred, int n, int bd);
+static void xt_mpm_main(const XtFrame *f, int x_scu, int y_scu,
+                        int mpm[2], int ext[8], int pims[33]);
+static void xt_write_intra_dir_main(XtSbac *s, XtCtx *c, int ipm,
+                                    const int mpm[2], const int ext[8],
+                                    const int pims[33]);
+static void xt_write_intra_dir_c_main(XtSbac *s, XtCtx *c, int ipm_c,
+                                      int ipm_l);
+static void xt_adcc_write(XtSbac *s, XtCtx *c, const int32_t *lev,
+                          int lg_w, int lg_h, int ch_type,
+                          const uint16_t *scan);
 
 static void xt_code_tree(XtFrame *f, int x, int y, int lg)
 {
@@ -1194,6 +1213,7 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
     const XtFrameCfg *cfg = f->cfg;
     int n = 1 << lg, bd = cfg->bd, W = cfg->w;
     int slice_is_i = (f->slice_type == 2);
+    int iqt = cfg->tool_iqt;
     XtCuWork *wk = (XtCuWork *)f->scratch;
     int32_t *resi = wk->tq_resi, *coef = wk->tq_coef;
     int32_t *dq = wk->tq_dq, *rr = wk->tq_rr;
@@ -1204,12 +1224,13 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
     xt_fwd_dct2(resi, coef, lg, bd);
     if (cfg->use_rdoq)
-        *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i, 0);
+        *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i, iqt);
     else
-        *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd, 0);
+        *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd, iqt);
     if (*nnz_y) {
-        xt_dequant(lev_y, dq, lg, f->qp_y, bd, 0);
-        xt_inv_dct2(dq, rr, lg, bd);
+        xt_dequant(lev_y, dq, lg, f->qp_y, bd, iqt);
+        if (iqt) xt_inv_dct2_iqt(dq, rr, lg, bd);
+        else xt_inv_dct2(dq, rr, lg, bd);
         for (int i = 0; i < n * n; i++) {
             int16_t t = (int16_t)(rr[i] + pred_y[i]);
             int32_t v = t;
@@ -1240,12 +1261,13 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq)
             *nnzs[ch] = xt_rdoq(coef, levs[ch], lg - 1, qpc[ch], lamc[ch],
-                                ch + 1, bd, &f->est, slice_is_i, 0);
+                                ch + 1, bd, &f->est, slice_is_i, iqt);
         else
-            *nnzs[ch] = xt_quant(coef, levs[ch], lg - 1, qpc[ch], slice_is_i, bd, 0);
+            *nnzs[ch] = xt_quant(coef, levs[ch], lg - 1, qpc[ch], slice_is_i, bd, iqt);
         if (*nnzs[ch]) {
-            xt_dequant(levs[ch], dq, lg - 1, qpc[ch], bd, 0);
-            xt_inv_dct2(dq, rr, lg - 1, bd);
+            xt_dequant(levs[ch], dq, lg - 1, qpc[ch], bd, iqt);
+            if (iqt) xt_inv_dct2_iqt(dq, rr, lg - 1, bd);
+            else xt_inv_dct2(dq, rr, lg - 1, bd);
             for (int i = 0; i < nc * nc; i++) {
                 int16_t t = (int16_t)(rr[i] + preds[ch][i]);
                 int32_t v = t;
@@ -1312,6 +1334,7 @@ static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
     int nnz_y, int is_intra, int ipm,
     const int *mv0, const int *mv1)
 {
+    int is_skip = (f->cur_is_skip != 0);
     const XtFrameCfg *cfg = f->cfg;
     int s = 1 << lg, W = cfg->w, Wc = W >> 1;
     int xc = x >> 1, yc = y >> 1, sc = s >> 1;
@@ -1331,6 +1354,7 @@ static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
             f->map_if[idx] = is_intra ? 1 : 0;
             f->map_ipm[idx] = (int8_t)(is_intra ? ipm : 0);
             f->map_cbf[idx] = nnz_y ? 1 : 0;
+            if (f->map_skip) f->map_skip[idx] = is_skip ? 1 : 0;
             if (!is_intra) {
                 f->map_refi[idx * 2 + 0] = mv0 ? 0 : -1;
                 f->map_refi[idx * 2 + 1] = mv1 ? 0 : -1;
@@ -1348,6 +1372,33 @@ static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
     f->leaf_y[f->n_leaf] = y;
     f->leaf_lg[f->n_leaf] = (int16_t)lg;
     f->n_leaf++;
+}
+
+/* Neighbour-derived ctx for skip_flag/pred_mode under cm_init
+ * (xeve_get_ctx_some_flags, xeve_util.c:1181; dec/decoder.py _ctx_flags) */
+static void xt_ctx_flags(const XtFrame *f, int x_scu, int y_scu,
+                         int scuw, int scuh, int *ctx_skip, int *ctx_pred)
+{
+    *ctx_skip = 0; *ctx_pred = 0;
+    if (!f->cfg->cm_init) return;
+    int pos[3][2]; int np = 0;
+    if (y_scu > 0) { pos[np][0] = y_scu - 1; pos[np][1] = x_scu; np++; }
+    if (x_scu > 0) { pos[np][0] = y_scu + scuh - 1; pos[np][1] = x_scu - 1; np++; }
+    if (x_scu + scuw < f->w_scu) {
+        pos[np][0] = y_scu + scuh - 1; pos[np][1] = x_scu + scuw; np++;
+    }
+    int sf = 0, ifl = 0, avail = 0;
+    for (int k = 0; k < np; k++) {
+        int idx = pos[k][0] * f->w_scu + pos[k][1];
+        if (f->map_cod[idx]) {
+            avail++;
+            sf += f->map_skip ? f->map_skip[idx] : 0;
+            ifl += f->map_if[idx];
+        }
+    }
+    if (!avail) return;
+    *ctx_skip = sf > 1 ? 1 : sf;
+    *ctx_pred = ifl > 2 ? 2 : ifl;
 }
 
 /* P/B-slice CU: decide among {skip, inter MVD, intra, [temporal direct]}
@@ -1493,17 +1544,29 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         + xt_coef_bins(wk->in_lv, sc * sc, in_v);
     double cost_inter = ssd_i + lam * (double)bins_inter;
 
-    /* --- candidate 3: intra --- */
+    /* --- candidate 3: intra (EIPD when main) --- */
     int32_t up[130], left[130], ul;
-    xt_gather_nb(f->ry, W, W, cfg->h, f->map_cod, f->w_scu, f->h_scu,
-                 x, y, s, x_scu, y_scu, 4, bd, up, left, &ul);
-    xt_ipred(ipm, up, left, ul, wk->ip_py, s);
-    xt_gather_nb(f->ru, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
-                 xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
-    xt_ipred(ipm, up, left, ul, wk->ip_pu, sc);
-    xt_gather_nb(f->rv, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
-                 xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
-    xt_ipred(ipm, up, left, ul, wk->ip_pv, sc);
+    if (cfg->main_eipd) {
+        xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
+                    x, y, s, x_scu, y_scu, 4, bd, up, left);
+        xt_ipred_main(ipm, up, left, wk->ip_py, s, bd);
+        xt_nbr_main(f->ru, Wc, f->map_cod, f->w_scu, f->h_scu,
+                    xc, yc, sc, x_scu, y_scu, 2, bd, up, left);
+        xt_ipred_main(ipm, up, left, wk->ip_pu, sc, bd);
+        xt_nbr_main(f->rv, Wc, f->map_cod, f->w_scu, f->h_scu,
+                    xc, yc, sc, x_scu, y_scu, 2, bd, up, left);
+        xt_ipred_main(ipm, up, left, wk->ip_pv, sc, bd);
+    } else {
+        xt_gather_nb(f->ry, W, W, cfg->h, f->map_cod, f->w_scu, f->h_scu,
+                     x, y, s, x_scu, y_scu, 4, bd, up, left, &ul);
+        xt_ipred(ipm, up, left, ul, wk->ip_py, s);
+        xt_gather_nb(f->ru, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
+                     xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
+        xt_ipred(ipm, up, left, ul, wk->ip_pu, sc);
+        xt_gather_nb(f->rv, Wc, Wc, cfg->h >> 1, f->map_cod, f->w_scu, f->h_scu,
+                     xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
+        xt_ipred(ipm, up, left, ul, wk->ip_pv, sc);
+    }
     int it_y, it_u, it_v;
     double ssd_c = xt_tq_channels(f, x, y, lg,
                                   wk->ip_py, wk->ip_pu, wk->ip_pv,
@@ -1523,26 +1586,36 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
     if (cost_intra < best) { best = cost_intra; winner = 2; }
     if (have_direct && direct_cost < best) { best = direct_cost; winner = 3; }
 
+    int ctx_skip, ctx_pred;
+    xt_ctx_flags(f, x_scu, y_scu, scuw, scuh, &ctx_skip, &ctx_pred);
+    int adcc = cfg->main_eipd;
+    #define XT_COEF(levp, lglv, ch) do { \
+        if (adcc) xt_adcc_write(f->sbac, f->ctx, (levp), (lglv), (lglv), \
+                                (ch), XT_SCAN[lglv]); \
+        else xt_write_coef_block(f->sbac, f->ctx, (levp), (lglv), (ch)); \
+    } while (0)
+
+    f->cur_is_skip = (winner == 0);
     if (winner == 0) {          /* skip */
-        xt_encode_bin(f->sbac, f->ctx->skip_flag, 1);
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 1);
         xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
         if (is_b) xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
         xt_store_cu_pb(f, x, y, lg, wk->skip_py, wk->skip_pu, wk->skip_pv,
                        0, 0, 0, skip_mv0, is_b ? skip_mv1 : NULL);
     } else if (winner == 3) {   /* temporal direct */
-        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
-        xt_encode_bin(f->sbac, f->ctx->pred_mode, 0);
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 0);
         xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 1);
         xt_write_cbf_inter(f->sbac, f->ctx, dn_y ? 1 : 0, dn_u ? 1 : 0,
                            dn_v ? 1 : 0);
-        if (dn_y) xt_write_coef_block(f->sbac, f->ctx, wk->dir_ly, lg, 0);
-        if (dn_u) xt_write_coef_block(f->sbac, f->ctx, wk->dir_lu, lg - 1, 1);
-        if (dn_v) xt_write_coef_block(f->sbac, f->ctx, wk->dir_lv, lg - 1, 1);
+        if (dn_y) XT_COEF(wk->dir_ly, lg, 0);
+        if (dn_u) XT_COEF(wk->dir_lu, lg - 1, 1);
+        if (dn_v) XT_COEF(wk->dir_lv, lg - 1, 1);
         xt_store_cu_pb(f, x, y, lg, wk->dir_ry, wk->dir_ru, wk->dir_rv,
                        dn_y, 0, 0, dmv0, dmv1);
     } else if (winner == 1) {   /* inter MVD */
-        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
-        xt_encode_bin(f->sbac, f->ctx->pred_mode, 0);
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 0);
         if (is_b) {
             xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 0);
             if (pred_dir == 2) {
@@ -1566,34 +1639,42 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         }
         xt_write_cbf_inter(f->sbac, f->ctx, in_y ? 1 : 0, in_u ? 1 : 0,
                            in_v ? 1 : 0);
-        if (in_y) xt_write_coef_block(f->sbac, f->ctx, wk->in_ly, lg, 0);
-        if (in_u) xt_write_coef_block(f->sbac, f->ctx, wk->in_lu, lg - 1, 1);
-        if (in_v) xt_write_coef_block(f->sbac, f->ctx, wk->in_lv, lg - 1, 1);
+        if (in_y) XT_COEF(wk->in_ly, lg, 0);
+        if (in_u) XT_COEF(wk->in_lu, lg - 1, 1);
+        if (in_v) XT_COEF(wk->in_lv, lg - 1, 1);
         xt_store_cu_pb(f, x, y, lg, wk->in_ry, wk->in_ru, wk->in_rv,
                        in_y, 0, 0,
                        (pred_dir == 0 || pred_dir == 2) ? mv_me0 : NULL,
                        (is_b && (pred_dir == 1 || pred_dir == 2)) ? mv_me1 : NULL);
     } else {                    /* intra */
-        xt_encode_bin(f->sbac, f->ctx->skip_flag, 0);
-        xt_encode_bin(f->sbac, f->ctx->pred_mode, 1);
-        int ipm_l = 0, ipm_u = 0;
-        if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
-            f->map_cod[y_scu * f->w_scu + x_scu - 1])
-            ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1] + 1;
-        if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
-            f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
-            ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
-        int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + ipm];
-        xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 1);
+        if (cfg->main_eipd) {
+            int mpm2[2], ext[8], pims[33];
+            xt_mpm_main(f, x_scu, y_scu, mpm2, ext, pims);
+            xt_write_intra_dir_main(f->sbac, f->ctx, ipm, mpm2, ext, pims);
+            xt_write_intra_dir_c_main(f->sbac, f->ctx, 0, ipm);
+        } else {
+            int ipm_l = 0, ipm_u = 0;
+            if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
+                f->map_cod[y_scu * f->w_scu + x_scu - 1])
+                ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1] + 1;
+            if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
+                f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
+                ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
+            int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + ipm];
+            xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
+        }
         xt_encode_bin(f->sbac, f->ctx->cbf_cb, it_u ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, it_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, it_y ? 1 : 0);
-        if (it_y) xt_write_coef_block(f->sbac, f->ctx, wk->it_ly, lg, 0);
-        if (it_u) xt_write_coef_block(f->sbac, f->ctx, wk->it_lu, lg - 1, 1);
-        if (it_v) xt_write_coef_block(f->sbac, f->ctx, wk->it_lv, lg - 1, 1);
+        if (it_y) XT_COEF(wk->it_ly, lg, 0);
+        if (it_u) XT_COEF(wk->it_lu, lg - 1, 1);
+        if (it_v) XT_COEF(wk->it_lv, lg - 1, 1);
         xt_store_cu_pb(f, x, y, lg, wk->it_ry, wk->it_ru, wk->it_rv,
                        it_y, 1, ipm, NULL, NULL);
     }
+    #undef XT_COEF
 }
 
 /* ------------------------------------------------------------------ */
@@ -2684,6 +2765,7 @@ XT_API int xt_encode_frame(
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
+    f.map_skip = calloc(n_scu, 1);
     int max_leaf = (W / 4) * (H / 4) + 16;
     f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
@@ -2726,7 +2808,10 @@ XT_API int xt_encode_frame(
     XtSbac sbac;
     XtCtx ctx;
     xt_sbac_init(&sbac, out_bs, out_cap);
-    xt_ctx_init(&ctx);
+    if (cfg->cm_init)
+        xt_ctx_init_cm(&ctx, slice_type != 2 ? 1 : 0, cfg->qp);
+    else
+        xt_ctx_init(&ctx);
     f.sbac = &sbac;
     f.ctx = &ctx;
 
@@ -2746,6 +2831,7 @@ XT_API int xt_encode_frame(
     stats->n_leaf = f.n_leaf;
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_skip);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     free(f.scratch);
     return (sbac.out_len <= out_cap) ? 0 : -1;
