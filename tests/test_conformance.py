@@ -241,3 +241,31 @@ def test_decode_main_profile_ats(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} display {i} luma mismatch"
         assert np.array_equal(f.u, gu)
         assert np.array_equal(f.v, gv)
+
+
+HTDF_CASES = [
+    ("s96_htdf_ai", 96, 80, 2),
+    ("s96_htdf_zl", 96, 80, 6),
+    ("s96_htdf_ra", 96, 80, 20),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", HTDF_CASES)
+def test_decode_main_profile_htdf(name, w, h, n):
+    """HTDF in-loop filter streams (xevem_recon.c:277 xeve_htdf):
+    validates the Hadamard-domain filter incl. its per-CU availability
+    gating on intra and coefficient-bearing inter CUs."""
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    dec = BaselineIntraDecoder()
+    frames = dec.decode(stream)
+    assert dec.sps.tool_htdf == 1
+    assert dec.signatures_checked == n
+    assert len(frames) == n
+    for i, f in enumerate(frames):
+        # RA recon dumps are in display (poc) order
+        idx = f.poc if name.endswith("_ra") else i
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h,
+                                idx)
+        assert np.array_equal(f.y, gy), f"{name} poc {f.poc} luma mismatch"
+        assert np.array_equal(f.u, gu), f"{name} poc {f.poc} cb mismatch"
+        assert np.array_equal(f.v, gv), f"{name} poc {f.poc} cr mismatch"

@@ -519,6 +519,33 @@ class Encoder:
         current frame (analysis references *original* frames, so it never
         waits for reconstruction — SURVEY.md §7.1 phase-A/phase-B overlap).
         """
+        p = self.p
+        if (p.tool_eipd and p.keyint == 1
+                and self.analysis_engine in ("jax", "device")):
+            # Main AI: dispatch-ahead 33-mode analyses vs native coding
+            from collections import deque
+            from .enc.analysis_main_jax import (dispatch_main_jax,
+                                                collect_main_jax)
+            pending = deque()
+
+            def code_next():
+                yuv, hd = pending.popleft()
+                bs, rec = self.encode_frame(
+                    *yuv, analysis_pre=collect_main_jax(hd))
+                return bs, rec, self.poc - 1
+
+            for fr in frames:
+                y, u, v = self._pad_input(*fr)
+                qp = self._qp_guess(SLICE_I)
+                hd = dispatch_main_jax(y, u, v, qp,
+                                       *self._qp_triplet(qp),
+                                       p.codec_bit_depth)
+                pending.append(((y, u, v), hd))
+                if len(pending) > ahead:
+                    yield code_next()
+            while pending:
+                yield code_next()
+            return
         if self.analysis_engine != "device":
             for (y, u, v) in frames:
                 bs, rec = self.encode_frame(y, u, v)
@@ -620,17 +647,48 @@ class GopEncoder(Encoder):
     def flush(self):
         """Encode trailing frames as a truncated sub-GOP: the hierarchical
         coding order restricted to existing pocs.  POCs stay on the GOP grid
-        so the decoder's tid-based POC derivation still resolves them."""
+        so the decoder's tid-based POC derivation still resolves them.
+        With the device engine all remaining analyses are dispatched ahead
+        (same overlap as the full-GOP pipeline)."""
         out = []
         base = self._gop_base
         n_left = len(self._gop_in) - 1
         limit = base + n_left
-        for (poc, tid, is_ref) in picman_np.ra_gop16_order(base):
-            if poc > limit:
-                continue
-            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
-                                            SLICE_B)
-            out.append((bs, rec, poc))
+        order = [(p, t, r) for (p, t, r) in picman_np.ra_gop16_order(base)
+                 if p <= limit]
+        if self.analysis_engine == "device" and order and n_left > 0:
+            dev = self._device()
+            for (poc, tid, is_ref) in order:
+                dev.put_frame(poc, *self._gop_in[poc - base])
+            if not dev.has_frame(base):
+                dev.put_frame(base, *self._gop_in[0])
+            handles = []
+            for (poc, tid, is_ref) in order:
+                depth = 1 if poc % 16 == 0 else tid + 1
+                qp = self._ra_qp(depth) if self.rc is None \
+                    else self._qp_guess(SLICE_B)
+                qp_y, qp_u, qp_v = self._qp_triplet(qp)
+                low = poc & -poc
+                ref0 = poc - low if poc % 16 else poc - 16
+                ref1 = poc + low if poc % 16 else None
+                if ref1 is not None and (ref1 > limit
+                                         or not dev.has_frame(ref1)):
+                    ref1 = None
+                if not dev.has_frame(ref0):
+                    ref0 = base
+                hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v, ref_poc=ref0,
+                                  ref1_poc=ref1)
+                handles.append((poc, tid, is_ref, hd))
+            for (poc, tid, is_ref, hd) in handles:
+                an = dev.collect(hd)
+                bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                                SLICE_B, analysis_pre=an)
+                out.append((bs, rec, poc))
+        else:
+            for (poc, tid, is_ref) in order:
+                bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                                SLICE_B)
+                out.append((bs, rec, poc))
         self._gop_in = self._gop_in[-1:]
         self._gop_base = limit
         return out
@@ -695,6 +753,99 @@ class GopEncoder(Encoder):
             handles.append((poc, tid, is_ref, hd))
         for (poc, tid, is_ref, hd) in handles:
             an = dev.collect(hd)
+            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                                            SLICE_B, analysis_pre=an)
+            yield bs, rec, poc
+        self._gop_base = base + 16
+        self._gop_in = self._gop_in[-1:]
+
+    def encode_stream_meshed(self, frames, mesh):
+        """RA GOP16 stream encode with the sub-GOP's B-frame analyses
+        sharded one-per-device over `mesh` (frame-parallel "gop" axis,
+        SURVEY.md §2.4/§2.5).  Per-frame analysis math is the identical
+        single-chip fused graph, so the bitstream equals the single-chip
+        encode_stream output for any mesh size."""
+        p = self.p
+        assert p.bframes >= 15 and p.keyint != 1, "meshed path is RA GOP16"
+        dev = self._device()
+        for fr in frames:
+            self._gop_in.append(self._pad_input(*fr))
+            if not self._first_done:
+                bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
+                self._first_done = True
+                yield bs, rec, 0
+                continue
+            if len(self._gop_in) == 17:
+                yield from self._encode_subgop_meshed(dev, mesh)
+        yield from self.flush()
+
+    def _encode_subgop_meshed(self, dev, mesh):
+        import jax.numpy as jnp
+        from .parallel.mesh import meshed_subgop_analysis
+        from .enc.device_analyzer import _Handle, PAD
+        from .enc.analysis_jax import level_params
+        base = self._gop_base
+        order = picman_np.ra_gop16_order(base)
+        for (poc, _tid, _is_ref) in order:
+            y, u, v = self._gop_in[poc - base]
+            dev.put_frame(poc, y, u, v)
+        if not hasattr(self, "_meshed_fn"):
+            self._meshed_fn = meshed_subgop_analysis(
+                mesh, bd=self.p.codec_bit_depth,
+                search_range=min(16, max(8, self.p.w // 24)))
+        handles = {}
+        b_items = []          # (poc, prms, prm3, ref0, ref1)
+        for (poc, tid, is_ref) in order:
+            depth = 1 if poc % 16 == 0 else tid + 1
+            qp = self._ra_qp(depth) if self.rc is None \
+                else self._qp_guess(SLICE_B)
+            qp_y, qp_u, qp_v = self._qp_triplet(qp)
+            low = poc & -poc
+            ref0 = poc - low if poc % 16 else poc - 16
+            ref1 = poc + low if poc % 16 else None
+            if ref1 is not None and (ref1 > base + 16
+                                     or not dev.has_frame(ref1)):
+                ref1 = None
+            if ref1 is None:
+                # anchor/P frames: regular single-device dispatch
+                handles[poc] = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
+                                            ref_poc=ref0)
+            else:
+                prms = np.stack([level_params(qp, qp_y, qp_u, qp_v,
+                                              self.p.codec_bit_depth, lg)
+                                 for lg in range(dev.min_log2,
+                                                 dev.max_log2 + 1)])
+                lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+                w_u = 2.0 ** ((qp_y - qp_u) / 3.0)
+                w_v = 2.0 ** ((qp_y - qp_v) / 3.0)
+                b_items.append((poc, prms,
+                                np.array([lam, w_u, w_v], np.float32),
+                                ref0, ref1))
+        if b_items:
+            n_dev = int(np.prod(mesh.devices.shape))
+            B = len(b_items)
+            Bp = -(-B // n_dev) * n_dev       # pad batch to the mesh size
+            idx = list(range(B)) + [B - 1] * (Bp - B)
+            cols = [[], [], [], [], [], [], [], [], [], [], []]
+            for i in idx:
+                poc, prms, prm3, r0, r1 = b_items[i]
+                yuv = dev.ring[poc]
+                ref0 = dev.ring[r0]
+                ref1 = dev.ring[r1]
+                for k in range(3):
+                    cols[k].append(yuv[k])
+                    cols[3 + k].append(ref0[k])
+                    cols[6 + k].append(ref1[k])
+                cols[9].append(prms)
+                cols[10].append(prm3)
+            batches = [jnp.stack(c) for c in cols]
+            vecs = self._meshed_fn(*batches)
+            for j, (poc, _, _, _, _) in enumerate(b_items):
+                handles[poc] = _Handle(vecs[j], "B", self.p.h_aligned,
+                                       self.p.w_aligned, dev.min_log2,
+                                       dev.max_log2)
+        for (poc, tid, is_ref) in order:
+            an = dev.collect(handles[poc])
             bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
                                             SLICE_B, analysis_pre=an)
             yield bs, rec, poc

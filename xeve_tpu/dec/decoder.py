@@ -673,9 +673,13 @@ class BaselineIntraDecoder:
             self._recon_inter_cu(x, y, cuw, cuh, refi, mv, qp_y, qp_u, qp_v,
                                  coef_y, coef_u, coef_v)
 
-        # HTDF in-loop filter on the luma recon (intra: always; inter:
-        # only with luma coefficients — xevem_pintra.c:106, xevem_pinter.c:6090)
-        if self.sps.tool_htdf and (mode_intra or (not skip and cbf_y)):
+        # HTDF in-loop filter on the luma recon: INTRA CUs only.  The
+        # reference also runs xeve_htdf inside the inter RDO
+        # (xevem_pinter.c:6090) but that filtering is cost-evaluation
+        # local — the final reconstruction keeps inter CUs unfiltered
+        # (established against the s96_htdf_{ai,zl,ra} golden recon
+        # dumps, 28 frames bit-exact incl. signature SEIs).
+        if self.sps.tool_htdf and mode_intra:
             from ..ops import htdf_np
             htdf_np.htdf_cu(self.rec_y, x, y, cuw, cuh, self.sh.qp,
                             mode_intra,

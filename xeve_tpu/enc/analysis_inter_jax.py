@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .analysis_inter_np import InterAnalysisResult, ME_BLK_LOG2
+from .analysis_np import corrected_leaf
 from .analysis_jax import analyze_frame_jax
 from .me_jax import _me_int_jit
 
@@ -291,7 +292,7 @@ def analyze_frame_inter_jax(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u,
     if refp1 and mv1 is None:
         mv1 = {lg: mv[lg] for lg in mv}
 
-    tree_cost = {min_log2: leaf_cost[min_log2]}
+    tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
     split = {min_log2: np.zeros_like(leaf_cost[min_log2], dtype=bool)}
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
@@ -301,7 +302,7 @@ def analyze_frame_inter_jax(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u,
         ys = (np.arange(nby) + 1) * s
         xs = (np.arange(nbx) + 1) * s
         valid = (ys[:, None] <= h) & (xs[None, :] <= w)
-        leafc = np.where(valid, leaf_cost[lg], np.inf)
+        leafc = np.where(valid, corrected_leaf(lg, leaf_cost[lg]), np.inf)
         split[lg] = sum4 + lam < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..constants import SLICE_P
 from . import analysis_np
-from .analysis_np import AnalysisResult
+from .analysis_np import AnalysisResult, corrected_leaf
 from ..ops import mc_np
 from . import syntax
 
@@ -175,7 +175,7 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
             mv1[lg] = _mv_for_level(mv16_b, lg, nby, nbx)
         leaf_cost[lg] = np.minimum(intra.leaf_cost[lg], cost_i)
 
-    tree_cost = {min_log2: leaf_cost[min_log2]}
+    tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
     split = {min_log2: np.zeros_like(leaf_cost[min_log2], dtype=bool)}
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
@@ -185,7 +185,7 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
         ys = (np.arange(nby) + 1) * s
         xs = (np.arange(nbx) + 1) * s
         valid = (ys[:, None] <= h) & (xs[None, :] <= w)
-        leafc = np.where(valid, leaf_cost[lg], np.inf)
+        leafc = np.where(valid, corrected_leaf(lg, leaf_cost[lg]), np.inf)
         split[lg] = sum4 + lam < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
 

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from ..constants import (TM, SCAN, QUANT_SCALE, DQUANT_SCALE_B,
                          MAX_TX_DYNAMIC_RANGE, QUANT_SHIFT,
                          QUANT_IQUANT_SHIFT)
-from .analysis_np import AnalysisResult
+from .analysis_np import AnalysisResult, corrected_leaf
 
 _TMf = {n: jnp.asarray(TM[n], dtype=jnp.float32) for n in TM}
 
@@ -259,7 +259,7 @@ def _unpack(vec: np.ndarray, h: int, w: int, min_log2: int, max_log2: int):
 
 
 def _partition_dp(mode, leaf_cost, h, w, lam, min_log2, max_log2):
-    tree_cost = {min_log2: leaf_cost[min_log2]}
+    tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
     split = {min_log2: np.zeros_like(leaf_cost[min_log2], dtype=bool)}
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
@@ -269,7 +269,7 @@ def _partition_dp(mode, leaf_cost, h, w, lam, min_log2, max_log2):
         ys = (np.arange(nby) + 1) * s
         xs = (np.arange(nbx) + 1) * s
         valid = (ys[:, None] <= h) & (xs[None, :] <= w)
-        leafc = np.where(valid, leaf_cost[lg], np.inf)
+        leafc = np.where(valid, corrected_leaf(lg, leaf_cost[lg]), np.inf)
         split[lg] = sum4 + lam < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
     return AnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,

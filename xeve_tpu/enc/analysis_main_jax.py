@@ -197,26 +197,60 @@ def _level_cost_main_impl(orig_y, orig_u, orig_v, prm, bd, lg):
 _level_cost_main = jax.jit(_level_cost_main_impl, static_argnames=("bd", "lg"))
 
 
-def analyze_frame_main_jax(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
-                           max_log2=6, min_log2=2) -> AnalysisResult:
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+@jax.jit
+def _pack_main(parts):
+    return jnp.concatenate([p.astype(jnp.float32).reshape(-1)
+                            for p in parts])
+
+
+def dispatch_main_jax(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
+                      max_log2=6, min_log2=2):
+    """Async dispatch: all level executables queued, one packed device
+    vector returned (device array, not fetched)."""
     h, w = orig_y.shape
     yj = jnp.asarray(np.asarray(orig_y), dtype=jnp.float32)
     uj = jnp.asarray(np.asarray(orig_u), dtype=jnp.float32)
     vj = jnp.asarray(np.asarray(orig_v), dtype=jnp.float32)
-    mode, leaf_cost = {}, {}
-    handles = {}
+    parts = []
+    levels = []
     for lg in range(min_log2, max_log2 + 1):
         s = 1 << lg
         if h // s == 0 or w // s == 0:
-            mode[lg] = np.zeros((h // s, w // s), np.int32)
-            leaf_cost[lg] = np.full(mode[lg].shape, np.inf)
             continue
         prm = jnp.asarray(level_params_main(qp, qp_y, qp_u, qp_v, bd, lg))
-        handles[lg] = _level_cost_main(yj, uj, vj, prm, bd=bd, lg=lg)
-    for lg, (m, c) in handles.items():
-        mode[lg] = np.asarray(m)
-        leaf_cost[lg] = np.asarray(c, dtype=np.float64)
+        m, c = _level_cost_main(yj, uj, vj, prm, bd=bd, lg=lg)
+        parts.extend((m, c))
+        levels.append(lg)
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    return (_pack_main(parts), levels, h, w, lam, min_log2, max_log2)
+
+
+def collect_main_jax(handle) -> AnalysisResult:
+    """Block on the single packed transfer and build the decision maps."""
+    dev_vec, levels, h, w, lam, min_log2, max_log2 = handle
+    vec = np.asarray(dev_vec)
+    mode, leaf_cost = {}, {}
+    for lg in range(min_log2, max_log2 + 1):
+        if lg not in levels:
+            s = 1 << lg
+            mode[lg] = np.zeros((h // s, w // s), np.int32)
+            leaf_cost[lg] = np.full(mode[lg].shape, np.inf)
+    off = 0
+    for lg in levels:
+        s = 1 << lg
+        nby, nbx = h // s, w // s
+        n = nby * nbx
+        mode[lg] = vec[off:off + n].reshape(nby, nbx).astype(np.int32)
+        off += n
+        leaf_cost[lg] = vec[off:off + n].reshape(nby, nbx).astype(np.float64)
+        off += n
     res = _partition_dp(mode, leaf_cost, h, w, lam, min_log2, max_log2)
     res.eipd_modes = True      # mode maps hold EIPD directions (0..32)
     return res
+
+
+def analyze_frame_main_jax(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
+                           max_log2=6, min_log2=2) -> AnalysisResult:
+    return collect_main_jax(dispatch_main_jax(
+        orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd, max_log2,
+        min_log2))

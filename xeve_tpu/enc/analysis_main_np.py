@@ -16,7 +16,8 @@ import numpy as np
 
 from ..constants import SLICE_I
 from ..ops.intra_main_batch import open_loop_neighbors, pred_all_modes_main
-from .analysis_np import AnalysisResult, _blocks, _fwd_tq_cost
+from .analysis_np import (AnalysisResult, _blocks, _fwd_tq_cost,
+                          corrected_leaf)
 
 
 def _level_modes_main(orig, s, qp_c, lam, bd, slice_type, tool_iqt):
@@ -68,7 +69,7 @@ def analyze_frame_main(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
         mode[lg] = np.argmin(cost, axis=2)
         leaf_cost[lg] = np.min(cost, axis=2)
 
-    tree_cost = {min_log2: leaf_cost[min_log2]}
+    tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
     split = {min_log2: np.zeros_like(leaf_cost[min_log2], dtype=bool)}
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
@@ -80,7 +81,7 @@ def analyze_frame_main(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
         ys = (np.arange(nby) + 1) * s
         xs = (np.arange(nbx) + 1) * s
         valid = (ys[:, None] <= h) & (xs[None, :] <= w)
-        leafc = np.where(valid, leaf_cost[lg], np.inf)
+        leafc = np.where(valid, corrected_leaf(lg, leaf_cost[lg]), np.inf)
         split[lg] = sum4 + lam < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
     res = AnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,

@@ -23,6 +23,20 @@ from ..constants import (TM, SCAN, QUANT_SCALE, DQUANT_SCALE_B,
                          QUANT_IQUANT_SHIFT, SLICE_I)
 
 
+# Open-loop bias correction per quadtree level, calibrated against the
+# closed-loop pass + reference anchors at QP 22-37 (tools/bdrate.py):
+# open-loop leaf costs of small blocks are optimistic (original-pixel
+# neighbours predict deceptively well), which made the partition DP
+# over-split at low QP (xeve_mode.c evaluates splits with exact closed-
+# loop RDO instead; this factor is our calibrated stand-in).
+LEVEL_COST_CORRECTION = {2: 1.3, 3: 1.1}
+
+
+def corrected_leaf(lg, cost):
+    g = LEVEL_COST_CORRECTION.get(lg)
+    return cost * g if g else cost
+
+
 @dataclass
 class AnalysisResult:
     # per level (log2 size): best mode map (nby, nbx) and whether to split
@@ -171,7 +185,7 @@ def analyze_frame(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
         leaf_cost[lg] = np.min(cost, axis=2)
 
     # bottom-up DP: tree_cost[lg] = min(leaf, sum of 4 children) (+ split bits)
-    tree_cost = {min_log2: leaf_cost[min_log2]}
+    tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
     split = {min_log2: np.zeros_like(leaf_cost[min_log2], dtype=bool)}
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
@@ -184,7 +198,7 @@ def analyze_frame(orig_y, orig_u, orig_v, qp, qp_y, qp_u, qp_v, bd,
         xs = (np.arange(nbx) + 1) * s
         valid = (ys[:, None] <= h) & (xs[None, :] <= w)
         lam_split = lam * 1.0  # split flag ~1 bin
-        leafc = np.where(valid, leaf_cost[lg], np.inf)
+        leafc = np.where(valid, corrected_leaf(lg, leaf_cost[lg]), np.inf)
         split[lg] = sum4 + lam_split < leafc
         tree_cost[lg] = np.where(split[lg], sum4 + lam_split, leafc)
     return AnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,

@@ -37,7 +37,7 @@ from .analysis_inter_jax import (_phase_planes, _gather_blocks, _cur_blocks,
                                  _subpel_refine, _mvd_bits)
 from .me_jax import _me_int_jit
 from .analysis_inter_np import InterAnalysisResult, ME_BLK_LOG2
-from .analysis_np import AnalysisResult
+from .analysis_np import corrected_leaf, AnalysisResult
 
 PAD = 64 + 16   # matches api.py DPB padding (PIC_PAD_SIZE_L)
 
@@ -131,7 +131,7 @@ def _inter_level_costs(y_i32, u_i32, v_i32, planes, ref_u_pad, ref_v_pad,
 
 def _partition_dp_dev(leaf_cost, lam, h, w, min_log2, max_log2):
     split = {min_log2: jnp.zeros_like(leaf_cost[min_log2], dtype=jnp.int16)}
-    tree = leaf_cost[min_log2]
+    tree = corrected_leaf(min_log2, leaf_cost[min_log2])
     for lg in range(min_log2 + 1, max_log2 + 1):
         s = 1 << lg
         nby, nbx = leaf_cost[lg].shape
@@ -140,7 +140,7 @@ def _partition_dp_dev(leaf_cost, lam, h, w, min_log2, max_log2):
         ys = (np.arange(nby) + 1) * s
         xs = (np.arange(nbx) + 1) * s
         valid = jnp.asarray((ys[:, None] <= h) & (xs[None, :] <= w))
-        leafc = jnp.where(valid, leaf_cost[lg], jnp.inf)
+        leafc = jnp.where(valid, corrected_leaf(lg, leaf_cost[lg]), jnp.inf)
         sp = sum4 + lam < leafc
         split[lg] = sp.astype(jnp.int16)
         tree = jnp.where(sp, sum4 + lam, leafc)

@@ -30,6 +30,44 @@ def make_mesh(n_devices: int | None = None, axis: str = "gop") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def meshed_subgop_analysis(mesh: Mesh, bd: int = 10, search_range: int = 16,
+                           min_log2: int = 2, max_log2: int = 6):
+    """Frame-parallel sharding of the PRODUCT fused analyzer
+    (enc/device_analyzer._fused_impl) over the gop axis: the B-frames of a
+    RA sub-GOP are analyzed one-per-device, each against its own L0/L1
+    original references.  Per-frame math is the identical single-chip
+    graph, so N-chip analysis == 1-chip analysis bit-for-bit and the final
+    bitstream is mesh-size invariant (asserted in
+    tests/test_multichip.py).
+
+    Returns a jitted fn(y,u,v, r0y,r0u,r0v, r1y,r1u,r1v, prms, prm3) over
+    batches whose leading dim is sharded on the mesh; output: packed
+    per-frame int16 decision vectors, sharded the same way."""
+    from ..enc.device_analyzer import _fused_impl, PAD
+    axis = mesh.axis_names[0]
+    fn1 = functools.partial(_fused_impl, bd=bd, R=int(search_range), pad=PAD,
+                            min_log2=min_log2, max_log2=max_log2, kind="B")
+
+    def one(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, prms, prm3):
+        return fn1(y, u, v, (r0y, r0u, r0v), (r1y, r1u, r1v), prms, prm3)
+
+    def per_device(*args):
+        return jax.vmap(one)(*args)
+
+    # scan carries inside the fused graph start from literals, which the
+    # varying-manual-axes check misclassifies; the graph has no cross-
+    # device communication, so the check is safely disabled
+    try:
+        sm = shard_map(per_device, mesh=mesh,
+                       in_specs=(P(axis),) * 11, out_specs=P(axis),
+                       check_vma=False)
+    except TypeError:
+        sm = shard_map(per_device, mesh=mesh,
+                       in_specs=(P(axis),) * 11, out_specs=P(axis),
+                       check_rep=False)
+    return jax.jit(sm)
+
+
 def meshed_analysis_step(mesh: Mesh, w: int, h: int, qp: int, qp_y: int,
                          qp_u: int, qp_v: int, bd: int = 10,
                          min_log2: int = 2, max_log2: int = 6):
