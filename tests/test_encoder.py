@@ -89,3 +89,28 @@ def test_main_profile_roundtrip():
     assert np.array_equal(frames[0].y, ry)
     assert np.array_equal(frames[0].u, ru)
     assert np.array_equal(frames[0].v, rv)
+
+
+def test_presets_and_tunes():
+    """Preset ladder (xeve_param_ppt counterpart): every preset produces a
+    valid stream; fast uses a smaller ME window and no 4x4 CUs."""
+    import numpy as np
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 1024, (80, 96))
+    u = rng.randint(0, 1024, (40, 48))
+    v = rng.randint(0, 1024, (40, 48))
+    sizes = {}
+    for preset in ("fast", "medium", "slow"):
+        p = EncoderParams(w=96, h=80, qp=30, keyint=1, preset=preset)
+        enc = Encoder(p)
+        bs, rec = enc.encode_frame(y, u, v)
+        f = BaselineIntraDecoder().decode(bs)[0]
+        assert np.array_equal(f.y, rec[0])
+        sizes[preset] = len(bs)
+    assert EncoderParams(w=960, h=540, preset="fast").validate().search_range == 8
+    assert EncoderParams(w=960, h=540, preset="slow").validate().search_range == 24
+    p = EncoderParams(w=96, h=80, bframes=15, tune="zerolatency").validate()
+    assert p.bframes == 0

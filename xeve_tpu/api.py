@@ -149,7 +149,7 @@ class Encoder:
             p = self.p
             self._dev = DeviceAnalyzer(
                 p.w_aligned, p.h_aligned, p.codec_bit_depth,
-                search_range=min(16, max(8, p.w // 24)))
+                search_range=p.search_range, min_log2=p.min_cu_log2)
         return self._dev
 
     def _qp_triplet(self, qp: int):
@@ -216,11 +216,11 @@ class Encoder:
             from .enc.analysis_jax import analyze_frame_jax
             analysis = analyze_frame_jax(y.astype(np.int16), u.astype(np.int16),
                                          v.astype(np.int16), qp, qp_y, qp_u,
-                                         qp_v, bd)
+                                         qp_v, bd, min_log2=p.min_cu_log2)
         else:
             analysis = analyze_frame(y.astype(np.int32), u.astype(np.int32),
                                      v.astype(np.int32), qp, qp_y, qp_u, qp_v,
-                                     bd)
+                                     bd, min_log2=p.min_cu_log2)
 
         sh = SliceHeader(slice_type=SLICE_I, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
@@ -272,13 +272,14 @@ class Encoder:
             from .enc.analysis_main_jax import analyze_frame_main_jax
             analysis = analyze_frame_main_jax(
                 np.asarray(y, np.int16), np.asarray(u, np.int16),
-                np.asarray(v, np.int16), qp, qp_y, qp_u, qp_v, bd)
+                np.asarray(v, np.int16), qp, qp_y, qp_u, qp_v, bd,
+                min_log2=p.min_cu_log2)
         else:
             from .enc.analysis_main_np import analyze_frame_main
             analysis = analyze_frame_main(
                 np.asarray(y, np.int32), np.asarray(u, np.int32),
                 np.asarray(v, np.int32), qp, qp_y, qp_u, qp_v, bd,
-                tool_iqt=p.tool_iqt)
+                tool_iqt=p.tool_iqt, min_log2=p.min_cu_log2)
         sh = SliceHeader(slice_type=SLICE_I, qp=qp,
                          qp_u_offset=p.qp_cb_offset,
                          qp_v_offset=p.qp_cr_offset,
@@ -375,7 +376,7 @@ class Encoder:
                                      np.asarray(u, np.int32),
                                      np.asarray(v, np.int32), refp, qp, qp_y,
                                      qp_u, qp_v, bd,
-                                     search_range=min(16, max(8, p.w // 24)))
+                                     search_range=p.search_range)
         sh = SliceHeader(slice_type=SLICE_P, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
                          deblocking_filter_on=1 if p.use_deblock else 0)
@@ -539,7 +540,8 @@ class Encoder:
                 qp = self._qp_guess(SLICE_I)
                 hd = dispatch_main_jax(y, u, v, qp,
                                        *self._qp_triplet(qp),
-                                       p.codec_bit_depth)
+                                       p.codec_bit_depth,
+                                       min_log2=p.min_cu_log2)
                 pending.append(((y, u, v), hd))
                 if len(pending) > ahead:
                     yield code_next()
@@ -792,7 +794,7 @@ class GopEncoder(Encoder):
         if not hasattr(self, "_meshed_fn"):
             self._meshed_fn = meshed_subgop_analysis(
                 mesh, bd=self.p.codec_bit_depth,
-                search_range=min(16, max(8, self.p.w // 24)))
+                search_range=self.p.search_range)
         handles = {}
         b_items = []          # (poc, prms, prm3, ref0, ref1)
         for (poc, tid, is_ref) in order:
@@ -920,7 +922,7 @@ class GopEncoder(Encoder):
         else:
             an = self._analyze_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v, bd,
                                      refp1=refp1 if slice_type == SLICE_B else None,
-                                     search_range=min(16, max(8, p.w // 24)))
+                                     search_range=p.search_range)
         if (slice_type == SLICE_B and refp1
                 and getattr(an, "mv1", None) is None
                 and getattr(an, "mv", None) is not None):

@@ -70,7 +70,7 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
             if maps is not None and lg in maps:
                 a = np.ascontiguousarray(maps[lg], dtype=np.uint8)
             else:
-                a = np.zeros_like(default_like[lg], dtype=np.uint8)
+                a = np.zeros((h >> lg, w >> lg), dtype=np.uint8)
             keep.append(a)
             tbl[lg] = a.ctypes.data_as(_u8p)
         return tbl
@@ -80,7 +80,10 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
             return None
         tbl = (_i32p * 7)()
         for lg in range(2, 7):
-            a = np.ascontiguousarray(maps[lg], dtype=np.int32)
+            if lg in maps:
+                a = np.ascontiguousarray(maps[lg], dtype=np.int32)
+            else:
+                a = np.zeros((h >> lg, w >> lg, 2), dtype=np.int32)
             keep.append(a)
             tbl[lg] = a.ctypes.data_as(_i32p)
         return tbl

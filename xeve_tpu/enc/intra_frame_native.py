@@ -43,13 +43,17 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
     split_ptrs = []
     mode_ptrs = []
     for lg in range(2, 7):
+        shape = (h >> lg, w >> lg)
         if lg in analysis.split:
             a, p = u8(analysis.split[lg].astype(np.uint8))
         else:
-            a, p = u8(np.zeros_like(analysis.mode[lg], dtype=np.uint8))
+            a, p = u8(np.zeros(shape, dtype=np.uint8))
         keep.append(a)
         split_ptrs.append(p)
-        a, p = u8(analysis.mode[lg].astype(np.uint8))
+        if lg in analysis.mode:
+            a, p = u8(analysis.mode[lg].astype(np.uint8))
+        else:
+            a, p = u8(np.zeros(shape, dtype=np.uint8))
         keep.append(a)
         mode_ptrs.append(p)
 

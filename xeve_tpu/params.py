@@ -27,7 +27,10 @@ class EncoderParams:
     qp_cr_offset: int = 0
     closed_gop: bool = False
     level_idc: int = 40
-    preset: str = "medium"
+    preset: str = "medium"       # fast | medium | slow | placebo
+    tune: str = ""               # "" | zerolatency | psnr
+    search_range: int = -1       # -1: preset default, scaled by width
+    min_cu_log2: int = -1        # -1: preset default (2 = allow 4x4 CUs)
     rc_type: str = "cq"          # cq | abr | crf
     bitrate_kbps: float = 0.0
     crf: int = 32
@@ -45,6 +48,7 @@ class EncoderParams:
         assert self.w > 0 and self.h > 0
         assert 0 <= self.qp <= 51, f"qp {self.qp} out of range [0, 51]"
         assert self.codec_bit_depth in (10,)
+        self._apply_preset_tune()
         is_main = self.profile == 1
         if self.tool_eipd < 0:
             self.tool_eipd = 1 if is_main else 0
@@ -63,6 +67,36 @@ class EncoderParams:
         if not self.tool_cm_init:
             assert not self.tool_adcc, "ADCC requires cm_init (SPS syntax)"
         return self
+
+    # preset tables (speed<->quality ladder, mirroring the reference's
+    # xeve_param_ppt design, xeve_enc.c:2431 / xevem.c:1111: presets set
+    # the ME range and partition depth; tunes override structure).  Values
+    # are OUR knobs — the TPU analysis evaluates all modes regardless, so
+    # presets mainly trade ME window and minimum CU size.
+    _PRESETS = {
+        #            search_scale  min_cu_log2
+        "fast":     (8,            3),
+        "medium":   (16,           2),
+        "slow":     (24,           2),
+        "placebo":  (32,           2),
+    }
+
+    def _apply_preset_tune(self):
+        assert self.preset in self._PRESETS, f"unknown preset {self.preset}"
+        sr, mincu = self._PRESETS[self.preset]
+        if self.search_range < 0:
+            self.search_range = min(sr, max(8, self.w // 24))
+        if self.min_cu_log2 < 0:
+            self.min_cu_log2 = mincu
+        if self.tune == "zerolatency":
+            # no reordering, no B frames (xeve tune zerolatency semantics)
+            self.bframes = 0
+            if self.keyint == 0:
+                self.keyint = 0
+        elif self.tune == "psnr":
+            pass                      # AQ off once AQ lands
+        elif self.tune:
+            raise ValueError(f"unknown tune {self.tune}")
 
     @property
     def w_aligned(self):
