@@ -90,7 +90,34 @@ class Encoder:
         )
 
     def _make_pps(self) -> PPS:
+        p = self.p
+        n = p.tile_columns * p.tile_rows
+        if n > 1:
+            id_len_m1 = 0
+            while n > (1 << id_len_m1):      # xevem_util.c:3281
+                id_len_m1 += 1
+            return PPS(single_tile_in_pic_flag=0,
+                       num_tile_columns_minus1=p.tile_columns - 1,
+                       num_tile_rows_minus1=p.tile_rows - 1,
+                       uniform_tile_spacing_flag=1,
+                       loop_filter_across_tiles_enabled_flag=0,
+                       tile_offset_lens_minus1=31,
+                       tile_id_len_minus1=id_len_m1)
         return PPS()
+
+    def _n_tiles(self):
+        return self.p.tile_columns * self.p.tile_rows
+
+    def _sh_tiles(self, sh, tile_lens):
+        """Fill multi-tile slice-header fields (entry points are
+        byte-length-minus1 of each non-final substream,
+        xeve_enc.c:545-551)."""
+        n = self._n_tiles()
+        if n > 1:
+            sh.single_tile_in_slice_flag = 0
+            sh.first_tile_id = 0
+            sh.last_tile_id = n - 1
+            sh.entry_point_offsets = [l - 1 for l in tile_lens[:n - 1]]
 
     def _headers(self) -> bytes:
         out = b""
@@ -232,7 +259,7 @@ class Encoder:
 
         if self.coder_engine == "native":
             from .enc.intra_frame_native import encode_intra_frame_native
-            slice_payload, bin_count, rec_y, rec_u, rec_v = \
+            slice_payload, bin_count, rec_y, rec_u, rec_v, _tl = \
                 encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                           p.qp_cb_offset, p.qp_cr_offset,
                                           y, u, v, analysis,
@@ -289,16 +316,18 @@ class Encoder:
         sh.write(bw, nut, self.sps, self.pps)
         if self.coder_engine == "native" and not p.tool_htdf:
             from .enc.intra_frame_native import encode_intra_frame_native
-            slice_payload, bin_count, rec_y, rec_u, rec_v = \
+            slice_payload, bin_count, rec_y, rec_u, rec_v, tile_lens = \
                 encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                           p.qp_cb_offset, p.qp_cr_offset,
                                           y, u, v, analysis,
                                           use_rdoq=p.rdoq,
                                           use_deblock=p.use_deblock,
                                           main_eipd=1, tool_iqt=p.tool_iqt,
-                                          cm_init=p.tool_cm_init)
+                                          cm_init=p.tool_cm_init,
+                                          tile_cols=p.tile_columns,
+                                          tile_rows=p.tile_rows,
+                                          threads=p.threads)
         else:
-            from .enc.main_intra_frame import MainIntraFramePass
             sbac = SbacEncoder()
             ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
             fp = MainIntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
@@ -310,6 +339,15 @@ class Encoder:
             rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
             slice_payload = sbac.finish()
             bin_count = sbac.bin_counter
+            tile_lens = None
+        sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                         qp_u_offset=p.qp_cb_offset,
+                         qp_v_offset=p.qp_cr_offset,
+                         deblocking_filter_on=1 if p.use_deblock else 0)
+        self._sh_tiles(sh, tile_lens)
+        bw = BitWriter()
+        NalHeader(nut, 0).write(bw)
+        sh.write(bw, nut, self.sps, self.pps)
         payload = bw.get_bytes() + slice_payload
         payload += self._cabac_zero_words(bin_count, len(payload))
         out += wrap_nal(payload)
@@ -377,14 +415,15 @@ class Encoder:
                                      np.asarray(v, np.int32), refp, qp, qp_y,
                                      qp_u, qp_v, bd,
                                      search_range=p.search_range)
+        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv, tile_lens = \
+            self._code_slice(SLICE_P, self.poc, qp, y, u, v, an, refp, None)
         sh = SliceHeader(slice_type=SLICE_P, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
                          deblocking_filter_on=1 if p.use_deblock else 0)
+        self._sh_tiles(sh, tile_lens)
         bw = BitWriter()
         NalHeader(NUT_NONIDR, 0).write(bw)
         sh.write(bw, NUT_NONIDR, self.sps, self.pps)
-        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv = \
-            self._code_slice(SLICE_P, self.poc, qp, y, u, v, an, refp, None)
         payload = bw.get_bytes() + slice_payload
         payload += self._cabac_zero_words(bin_count, len(payload))
         out = wrap_nal(payload)
@@ -406,7 +445,7 @@ class Encoder:
             # Main-tool P/B slices run natively only (the numpy FramePass
             # oracle covers the Baseline toolset)
             from .enc.frame_native import encode_frame_native
-            payload, bin_count, rec_y, rec_u, rec_v, map_mv, _refi = \
+            payload, bin_count, rec_y, rec_u, rec_v, map_mv, _refi, tl = \
                 encode_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                     p.qp_cb_offset, p.qp_cr_offset,
                                     slice_type, poc, y, u, v, an,
@@ -415,8 +454,11 @@ class Encoder:
                                     use_deblock=p.use_deblock,
                                     main_eipd=p.tool_eipd,
                                     tool_iqt=p.tool_iqt,
-                                    cm_init=p.tool_cm_init)
-            return payload, bin_count, rec_y, rec_u, rec_v, map_mv
+                                    cm_init=p.tool_cm_init,
+                                    tile_cols=p.tile_columns,
+                                    tile_rows=p.tile_rows,
+                                    threads=p.threads)
+            return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
         sbac = SbacEncoder()
         ctx = SbacCtx()
         fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
@@ -428,7 +470,7 @@ class Encoder:
                                            np.asarray(v, np.int32), an, sbac,
                                            ctx)
         return (sbac.finish(), sbac.bin_counter, rec_y, rec_u, rec_v,
-                fp.map_mv)
+                fp.map_mv, None)
 
     def encode_frames(self, frames, batch: int = 4):
         """Batch all-intra encode with a two-stage pipeline: TPU analysis of
@@ -487,7 +529,7 @@ class Encoder:
                 bw = BitWriter()
                 NalHeader(nut, 0).write(bw)
                 sh.write(bw, nut, self.sps, self.pps)
-                slice_payload, bin_count, rec_y, rec_u, rec_v = \
+                slice_payload, bin_count, rec_y, rec_u, rec_v, _tl = \
                     encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
                                               p.qp_cb_offset, p.qp_cr_offset,
                                               y, u, v, an,
@@ -928,15 +970,16 @@ class GopEncoder(Encoder):
                 and getattr(an, "mv", None) is not None):
             an.mv1 = {lg: m for lg, m in an.mv.items()}
 
+        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv, tile_lens = \
+            self._code_slice(slice_type, poc, qp, y, u, v, an, refp, refp1)
         sh = SliceHeader(slice_type=slice_type, qp=qp,
                          qp_u_offset=p.qp_cb_offset,
                          qp_v_offset=p.qp_cr_offset,
                          deblocking_filter_on=1 if p.use_deblock else 0)
+        self._sh_tiles(sh, tile_lens)
         bw = BitWriter()
         NalHeader(nut, tid).write(bw)
         sh.write(bw, nut, self.sps, self.pps)
-        slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv = \
-            self._code_slice(slice_type, poc, qp, y, u, v, an, refp, refp1)
         payload = bw.get_bytes() + slice_payload
         payload += self._cabac_zero_words(bin_count, len(payload))
         out += wrap_nal(payload)

@@ -254,12 +254,35 @@ class BaselineIntraDecoder:
         self.qp_y = sh.qp + 6 * self.sps.bit_depth_luma_minus8
 
         lg = self.log2_max_cuwh
-        for lcu_y in range(self.h_lcu):
-            for lcu_x in range(self.w_lcu):
-                self._decode_tree(sbac, ctx, lcu_x << lg, lcu_y << lg,
-                                  self.max_cuwh, self.max_cuwh)
-        tile_end = sbac.decode_bin_trm()
-        assert tile_end == 1
+        tiles = self._tile_grid()
+        self.map_tidx = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        for tid, (tx, ty, tw, th) in enumerate(tiles):
+            self.map_tidx[ty << (lg - 2):(ty + th) << (lg - 2),
+                          tx << (lg - 2):(tx + tw) << (lg - 2)] = tid
+        # per-tile substream starts from entry_point_offset_minus1
+        starts = [br.byte_pos]
+        for off_m1 in sh.entry_point_offsets:
+            starts.append(starts[-1] + off_m1 + 1)
+        for tid, (tx, ty, tw, th) in enumerate(tiles):
+            if tid > 0:
+                sbac = SbacDecoder(payload, starts[tid])
+                if self.trace is not None and getattr(self, "trace_bins",
+                                                      False):
+                    sbac.trace_hook = self._tr
+                ctx = SbacCtx(sh.slice_type, sh.qp, self.sps.tool_cm_init)
+            # per-tile CABAC/dqp state; cross-tile neighbours are
+            # unavailable (map_tidx gating in the reference,
+            # xeve_util.c:736) — expressed here by a fresh coded map
+            self.qp_prev_eco = sh.qp
+            self.dqp_is_coded = False
+            if len(tiles) > 1:
+                self.map_cod = np.zeros((self.h_scu, self.w_scu), dtype=bool)
+            for lcu_y in range(ty, ty + th):
+                for lcu_x in range(tx, tx + tw):
+                    self._decode_tree(sbac, ctx, lcu_x << lg, lcu_y << lg,
+                                      self.max_cuwh, self.max_cuwh)
+            tile_end = sbac.decode_bin_trm()
+            assert tile_end == 1
 
         if sh.deblocking_filter_on:
             self._deblock()
@@ -301,6 +324,29 @@ class BaselineIntraDecoder:
     def _tr_raw(self, text: str):
         if self.trace is not None:
             self.trace.write(text + "\n")
+
+    def _tile_grid(self):
+        """Uniform tile grid in CTU units: [(x_lcu, y_lcu, w_ctb, h_ctb)]
+        raster order (xevem_set_tile_info, xevem_util.c:3460)."""
+        p = self.pps
+        if p.single_tile_in_pic_flag:
+            return [(0, 0, self.w_lcu, self.h_lcu)]
+        assert p.uniform_tile_spacing_flag, "explicit tile sizes TBD"
+        cols = p.num_tile_columns_minus1 + 1
+        rows = p.num_tile_rows_minus1 + 1
+        col_w = [((i + 1) * self.w_lcu) // cols - (i * self.w_lcu) // cols
+                 for i in range(cols)]
+        row_h = [((j + 1) * self.h_lcu) // rows - (j * self.h_lcu) // rows
+                 for j in range(rows)]
+        tiles = []
+        y = 0
+        for j in range(rows):
+            x = 0
+            for i in range(cols):
+                tiles.append((x, y, col_w[i], row_h[j]))
+                x += col_w[i]
+            y += row_h[j]
+        return tiles
 
     # -- CTU tree -----------------------------------------------------------
     def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh,
@@ -932,9 +978,13 @@ class BaselineIntraDecoder:
     # -- deblocking ---------------------------------------------------------
     def _deblock(self):
         from ..ops.deblock_np import deblock_frame
+        tidx = None
+        if not self.pps.single_tile_in_pic_flag and \
+                not self.pps.loop_filter_across_tiles_enabled_flag:
+            tidx = self.map_tidx
         deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
                       self.map_if, self.map_cbf_l, self.map_qp,
                       self.sh.qp_u_offset, self.sh.qp_v_offset,
                       self.bd, self.sps.bit_depth_chroma_minus8,
                       map_refi=self.map_refi, map_mv=self.map_mv,
-                      main_qp_table=self.sps.tool_iqt)
+                      main_qp_table=self.sps.tool_iqt, map_tidx=tidx)

@@ -42,13 +42,15 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
                         orig_y, orig_u, orig_v, analysis,
                         refp=None, refp1=None, pad_l=80,
                         use_rdoq=True, use_deblock=True,
-                        main_eipd=0, tool_iqt=0, cm_init=0):
+                        main_eipd=0, tool_iqt=0, cm_init=0,
+                        tile_cols=1, tile_rows=1, threads=1):
     """Code one slice natively.  Returns (payload_bytes, bin_count,
-    rec_y, rec_u, rec_v, map_mv, map_refi)."""
+    rec_y, rec_u, rec_v, map_mv, map_refi, tile_lens)."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
                      1 if use_rdoq else 0, 1 if use_deblock else 0,
-                     main_eipd, tool_iqt, cm_init)
+                     main_eipd, tool_iqt, cm_init, tile_cols, tile_rows,
+                     threads)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -121,6 +123,7 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
     if ret != 0:
         raise RuntimeError("native frame pass: output buffer overflow")
     payload = bytes(out[:stats.payload_bytes].tobytes())
+    tile_lens = [int(stats.tile_len[i]) for i in range(stats.n_tiles)]
     return (payload, int(stats.bin_count),
             rec_y.astype(np.int32), rec_u.astype(np.int32),
-            rec_v.astype(np.int32), map_mv, map_refi)
+            rec_v.astype(np.int32), map_mv, map_refi, tile_lens)

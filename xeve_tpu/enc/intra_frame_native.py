@@ -17,14 +17,16 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
                               orig_y, orig_u, orig_v,
                               analysis: AnalysisResult,
                               use_rdoq=True, use_deblock=True,
-                              main_eipd=0, tool_iqt=0, cm_init=0):
-    """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v).  With
-    main_eipd the Main-profile stage-1 pass runs (EIPD/IQT/CM_INIT/ADCC;
-    mirrors enc/main_intra_frame.py)."""
+                              main_eipd=0, tool_iqt=0, cm_init=0,
+                              tile_cols=1, tile_rows=1, threads=1):
+    """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v,
+    tile_lens).  With main_eipd the Main-profile stage-1 pass runs
+    (EIPD/IQT/CM_INIT/ADCC; mirrors enc/main_intra_frame.py)."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
                      1 if use_rdoq else 0, 1 if use_deblock else 0,
-                     main_eipd, tool_iqt, cm_init)
+                     main_eipd, tool_iqt, cm_init, tile_cols, tile_rows,
+                     threads)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -74,6 +76,7 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
     if ret != 0:
         raise RuntimeError("native intra pass: output buffer overflow")
     payload = bytes(out[:stats.payload_bytes].tobytes())
+    tile_lens = [int(stats.tile_len[i]) for i in range(stats.n_tiles)]
     return (payload, int(stats.bin_count),
             rec_y.astype(np.int32), rec_u.astype(np.int32),
-            rec_v.astype(np.int32))
+            rec_v.astype(np.int32), tile_lens)

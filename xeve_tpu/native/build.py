@@ -19,13 +19,17 @@ class XtFrameCfg(ctypes.Structure):
                 ("qp_u_off", ctypes.c_int32), ("qp_v_off", ctypes.c_int32),
                 ("use_rdoq", ctypes.c_int32), ("use_deblock", ctypes.c_int32),
                 ("main_eipd", ctypes.c_int32), ("tool_iqt", ctypes.c_int32),
-                ("cm_init", ctypes.c_int32)]
+                ("cm_init", ctypes.c_int32),
+                ("tile_cols", ctypes.c_int32), ("tile_rows", ctypes.c_int32),
+                ("threads", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):
     _fields_ = [("payload_bytes", ctypes.c_int64),
                 ("bin_count", ctypes.c_int64),
-                ("n_leaf", ctypes.c_int32)]
+                ("n_leaf", ctypes.c_int32),
+                ("n_tiles", ctypes.c_int32),
+                ("tile_len", ctypes.c_int32 * 64)]
 
 
 class XtRefPic(ctypes.Structure):
@@ -56,7 +60,7 @@ def build():
                                _TABLES])
     subprocess.check_call(
         ["gcc", "-O3", "-march=native", "-fPIC", "-shared", "-fvisibility=hidden",
-         "-o", _SO, _SRC, "-lm"])
+         "-o", _SO, _SRC, "-lm", "-lpthread"])
 
 
 def get_lib():

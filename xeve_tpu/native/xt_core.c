@@ -17,6 +17,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#include <pthread.h>
 
 #include "tables.h"
 
@@ -444,8 +445,8 @@ static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
     }
 
     int64_t block_uncoded = 0;
-    static int64_t level_double[64 * 64];
-    static int32_t max_abs[64 * 64];
+    static __thread int64_t level_double[64 * 64];
+    static __thread int32_t max_abs[64 * 64];
     for (int i = 0; i < num; i++) {
         int64_t a = coef[i] < 0 ? -(int64_t)coef[i] : coef[i];
         int64_t ld = a * q_value;
@@ -473,7 +474,7 @@ static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
     int64_t cost_last0 = (int64_t)e->last[ctx_last][0] * lam;
     int64_t cost_last1 = (int64_t)e->last[ctx_last][1] * lam;
 
-    static int32_t levels_s[64 * 64];
+    static __thread int32_t levels_s[64 * 64];
     int run = 0;
     int best_last_p1 = 0;
     for (int sp = 0; sp < num; sp++) {
@@ -561,6 +562,8 @@ typedef struct {
     int32_t qp, qp_u_off, qp_v_off;
     int32_t use_rdoq, use_deblock;
     int32_t main_eipd, tool_iqt, cm_init;   /* Main-profile stage 1 */
+    int32_t tile_cols, tile_rows;           /* 0/1 = single tile */
+    int32_t threads;                        /* tile-parallel workers */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -575,7 +578,7 @@ typedef struct {
     const XtFrameCfg *cfg;
     const int16_t *oy, *ou, *ov;
     uint16_t *ry, *ru, *rv;         /* recon planes */
-    uint8_t *map_cod, *map_if, *map_cbf, *map_skip;
+    uint8_t *map_cod, *map_if, *map_cbf, *map_skip, *map_tidx;
     int32_t cur_is_skip;
     int8_t *map_ipm;
     int32_t w_scu, h_scu;
@@ -1771,6 +1774,10 @@ static void xt_deblock(XtFrame *f)
             int n = 1 << f->leaf_lg[li];
             if (pass == 0) { /* vertical edges: left edge of CU */
                 if (x == 0) continue;
+                if (f->map_tidx &&
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2) - 1])
+                    continue;   /* loop_filter_across_tiles disabled */
                 for (int i = 0; i < (n >> 2); i++) {
                     int yy = y + i * 4;
                     int scu = (yy >> 2) * f->w_scu + (x >> 2);
@@ -1805,6 +1812,10 @@ static void xt_deblock(XtFrame *f)
                 }
             } else { /* horizontal edges: top edge of CU */
                 if (y == 0) continue;
+                if (f->map_tidx &&
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
+                    f->map_tidx[((y >> 2) - 1) * f->w_scu + (x >> 2)])
+                    continue;
                 for (int i = 0; i < (n >> 2); i++) {
                     int xx = x + i * 4;
                     int scu = (y >> 2) * f->w_scu + (xx >> 2);
@@ -1862,7 +1873,7 @@ static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd)
 {
     int n = 1 << lg;
     const int8_t *T = XT_TM[lg];
-    static int32_t b1[64 * 64];                 /* b1[j][v] */
+    static __thread int32_t b1[64 * 64];        /* b1[j][v] */
     for (int j = 0; j < n; j++)
         for (int v = 0; v < n; v++) {
             int64_t acc = 0;
@@ -2558,7 +2569,159 @@ typedef struct {
     int64_t payload_bytes;
     int64_t bin_count;
     int32_t n_leaf;
+    int32_t n_tiles;
+    int32_t tile_len[64];       /* per-tile substream byte lengths */
 } XtStats;
+
+/* Per-tile slice coding: uniform grid (xevem_set_tile_info formula,
+ * xevem_util.c:3460), per-tile SBAC reset + substream termination
+ * (xeve_enc.c:485,540), cross-tile neighbour unavailability expressed by
+ * clearing the coded map at each tile start (equivalent to the
+ * reference's map_tidx gating since all prior-coded SCUs outside the
+ * current tile differ in tile id). */
+typedef struct {
+    XtFrame f;                  /* private shallow copy (own maps/sbac) */
+    int x0, x1, y0, y1;         /* LCU rect */
+    uint8_t *buf;
+    int64_t cap, out_len, bins;
+    int rc;
+} XtTileJob;
+
+static void *xt_tile_worker(void *arg)
+{
+    XtTileJob *job = (XtTileJob *)arg;
+    XtFrame *f = &job->f;
+    const XtFrameCfg *cfg = f->cfg;
+    XtSbac sbac;
+    XtCtx ctx;
+    xt_sbac_init(&sbac, job->buf, job->cap);
+    if (cfg->cm_init)
+        xt_ctx_init_cm(&ctx, f->slice_type != 2 ? 1 : 0, cfg->qp);
+    else
+        xt_ctx_init(&ctx);
+    f->sbac = &sbac;
+    f->ctx = &ctx;
+    for (int ly = job->y0; ly < job->y1; ly++)
+        for (int lx = job->x0; lx < job->x1; lx++) {
+            xt_rdoq_est(&ctx, &f->est);
+            xt_code_tree(f, lx << 6, ly << 6, 6);
+        }
+    xt_encode_bin_trm(&sbac, 1);
+    xt_sbac_finish(&sbac);
+    job->out_len = sbac.out_len;
+    job->bins = sbac.bin_counter;
+    job->rc = (sbac.out_len <= job->cap) ? 0 : -1;
+    return NULL;
+}
+
+/* Tile-parallel slice coding: every tile's mode decisions AND entropy
+ * coding run concurrently on the thread pool (legal per the bitstream:
+ * per-tile CABAC reset + entry points, xevem.c:212,302; SURVEY.md
+ * §2.4.2) — each worker gets a private coded-availability map (cross-
+ * tile neighbours are never available), private CU workspace and leaf
+ * list, and writes disjoint pixel/SCU regions. */
+static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
+                         XtStats *stats)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int w_lcu = (cfg->w + 63) >> 6, h_lcu = (cfg->h + 63) >> 6;
+    int cols = cfg->tile_cols > 0 ? cfg->tile_cols : 1;
+    int rows = cfg->tile_rows > 0 ? cfg->tile_rows : 1;
+    int n_tiles = cols * rows;
+    int multi = n_tiles > 1;
+    stats->n_tiles = n_tiles;
+    if (multi) {
+        /* SCU tile-id map for the deblock boundary gate */
+        f->map_tidx = malloc(f->w_scu * f->h_scu);
+        for (int j = 0; j < rows; j++) {
+            int y0 = (j * h_lcu) / rows, y1 = ((j + 1) * h_lcu) / rows;
+            for (int i = 0; i < cols; i++) {
+                int x0 = (i * w_lcu) / cols, x1 = ((i + 1) * w_lcu) / cols;
+                for (int sy = y0 << 4; sy < (y1 << 4) && sy < f->h_scu; sy++)
+                    for (int sx = x0 << 4; sx < (x1 << 4) && sx < f->w_scu; sx++)
+                        f->map_tidx[sy * f->w_scu + sx] =
+                            (uint8_t)(j * cols + i);
+            }
+        }
+    }
+
+    int n_scu = f->w_scu * f->h_scu;
+    int max_leaf = (cfg->w / 4) * (cfg->h / 4) + 16;
+    XtTileJob *jobs = malloc(sizeof(XtTileJob) * n_tiles);
+    int64_t per_cap = multi ? (out_cap / n_tiles + 65536) : out_cap;
+    int t = 0;
+    for (int j = 0; j < rows; j++)
+        for (int i = 0; i < cols; i++, t++) {
+            XtTileJob *job = &jobs[t];
+            job->f = *f;
+            job->y0 = (j * h_lcu) / rows;
+            job->y1 = ((j + 1) * h_lcu) / rows;
+            job->x0 = (i * w_lcu) / cols;
+            job->x1 = ((i + 1) * w_lcu) / cols;
+            job->cap = per_cap;
+            job->rc = 0;
+            if (multi) {
+                job->buf = malloc(per_cap);
+                job->f.map_cod = calloc(n_scu, 1);
+                job->f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
+                job->f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
+                job->f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+                job->f.n_leaf = 0;
+                if (f->scratch)
+                    job->f.scratch = malloc(sizeof(XtCuWork));
+            } else {
+                job->buf = out_bs;
+            }
+        }
+
+    int use_threads = multi && cfg->threads > 1;
+    if (use_threads) {
+        pthread_t *th = malloc(sizeof(pthread_t) * n_tiles);
+        for (t = 0; t < n_tiles; t++)
+            pthread_create(&th[t], NULL, xt_tile_worker, &jobs[t]);
+        for (t = 0; t < n_tiles; t++)
+            pthread_join(th[t], NULL);
+        free(th);
+    } else {
+        for (t = 0; t < n_tiles; t++)
+            xt_tile_worker(&jobs[t]);
+    }
+
+    if (!multi)
+        f->n_leaf = jobs[0].f.n_leaf;   /* leaf arrays are shared; the
+                                           count lives in the copy */
+    int64_t off = 0, bins = 0;
+    int rc = 0;
+    for (t = 0; t < n_tiles; t++) {
+        XtTileJob *job = &jobs[t];
+        if (job->rc != 0 || off + job->out_len > out_cap) rc = -1;
+        if (multi && rc == 0) {
+            memcpy(out_bs + off, job->buf, job->out_len);
+            /* merge private leaf lists (tile order; deblock passes are
+             * order-independent across disjoint tiles) */
+            for (int k = 0; k < job->f.n_leaf; k++) {
+                f->leaf_x[f->n_leaf] = job->f.leaf_x[k];
+                f->leaf_y[f->n_leaf] = job->f.leaf_y[k];
+                f->leaf_lg[f->n_leaf] = job->f.leaf_lg[k];
+                f->n_leaf++;
+            }
+        }
+        if (t < 64) stats->tile_len[t] = (int32_t)job->out_len;
+        off += job->out_len;
+        bins += job->bins;
+        if (multi) {
+            free(job->buf);
+            free(job->f.map_cod);
+            free(job->f.leaf_x); free(job->f.leaf_y); free(job->f.leaf_lg);
+            if (f->scratch) free(job->f.scratch);
+        }
+    }
+    free(jobs);
+    stats->payload_bytes = off;
+    stats->bin_count = bins;
+    stats->n_leaf = f->n_leaf;
+    return rc;
+}
 
 XT_API int xt_encode_intra_frame(
     const XtFrameCfg *cfg,
@@ -2615,31 +2778,13 @@ XT_API int xt_encode_intra_frame(
     f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
 
-    XtSbac sbac;
-    XtCtx ctx;
-    xt_sbac_init(&sbac, out_bs, out_cap);
-    xt_ctx_init(&ctx);
-    f.sbac = &sbac;
-    f.ctx = &ctx;
-
-    int w_lcu = (W + 63) >> 6, h_lcu = (H + 63) >> 6;
-    for (int ly = 0; ly < h_lcu; ly++)
-        for (int lx = 0; lx < w_lcu; lx++) {
-            xt_rdoq_est(&ctx, &f.est);
-            xt_code_tree(&f, lx << 6, ly << 6, 6);
-        }
-    xt_encode_bin_trm(&sbac, 1);
-    xt_sbac_finish(&sbac);
-
-    if (cfg->use_deblock) xt_deblock(&f);
-
-    stats->payload_bytes = sbac.out_len;
-    stats->bin_count = sbac.bin_counter;
-    stats->n_leaf = f.n_leaf;
+    int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
+    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_tidx);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
-    return (sbac.out_len <= out_cap) ? 0 : -1;
+    return rc;
 }
 
 /* Main-profile intra slice pass (stage 1): EIPD + IQT + CM_INIT + ADCC.
@@ -2700,32 +2845,13 @@ XT_API int xt_encode_main_intra_frame(
     f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
 
-    XtSbac sbac;
-    XtCtx ctx;
-    xt_sbac_init(&sbac, out_bs, out_cap);
-    if (cfg->cm_init) xt_ctx_init_cm(&ctx, 0 /* I row */, cfg->qp);
-    else xt_ctx_init(&ctx);
-    f.sbac = &sbac;
-    f.ctx = &ctx;
-
-    int w_lcu = (W + 63) >> 6, h_lcu = (H + 63) >> 6;
-    for (int ly = 0; ly < h_lcu; ly++)
-        for (int lx = 0; lx < w_lcu; lx++) {
-            xt_rdoq_est(&ctx, &f.est);
-            xt_code_tree(&f, lx << 6, ly << 6, 6);
-        }
-    xt_encode_bin_trm(&sbac, 1);
-    xt_sbac_finish(&sbac);
-
-    if (cfg->use_deblock) xt_deblock(&f);
-
-    stats->payload_bytes = sbac.out_len;
-    stats->bin_count = sbac.bin_counter;
-    stats->n_leaf = f.n_leaf;
+    int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
+    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_tidx);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
-    return (sbac.out_len <= out_cap) ? 0 : -1;
+    return rc;
 }
 
 /* General slice coding pass (I/P/B).  Mirrors enc/frame_pass.py FramePass
@@ -2805,34 +2931,12 @@ XT_API int xt_encode_frame(
     f.w_u = pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.w_v = pow(2.0, (f.qp_y - f.qp_v) / 3.0);
 
-    XtSbac sbac;
-    XtCtx ctx;
-    xt_sbac_init(&sbac, out_bs, out_cap);
-    if (cfg->cm_init)
-        xt_ctx_init_cm(&ctx, slice_type != 2 ? 1 : 0, cfg->qp);
-    else
-        xt_ctx_init(&ctx);
-    f.sbac = &sbac;
-    f.ctx = &ctx;
-
-    int w_lcu = (W + 63) >> 6, h_lcu = (H + 63) >> 6;
-    for (int ly = 0; ly < h_lcu; ly++)
-        for (int lx = 0; lx < w_lcu; lx++) {
-            xt_rdoq_est(&ctx, &f.est);
-            xt_code_tree(&f, lx << 6, ly << 6, 6);
-        }
-    xt_encode_bin_trm(&sbac, 1);
-    xt_sbac_finish(&sbac);
-
-    if (cfg->use_deblock) xt_deblock(&f);
-
-    stats->payload_bytes = sbac.out_len;
-    stats->bin_count = sbac.bin_counter;
-    stats->n_leaf = f.n_leaf;
+    int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
+    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
-    free(f.map_skip);
+    free(f.map_skip); free(f.map_tidx);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     free(f.scratch);
-    return (sbac.out_len <= out_cap) ? 0 : -1;
+    return rc;
 }

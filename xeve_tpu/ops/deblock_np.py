@@ -18,10 +18,12 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                   leaf_cus, map_if: np.ndarray, map_cbf_l: np.ndarray,
                   map_qp: np.ndarray, qp_u_off: int, qp_v_off: int,
                   bit_depth: int, bd_chroma_minus8: int,
-                  map_refi=None, map_mv=None, main_qp_table: int = 0):
+                  map_refi=None, map_mv=None, main_qp_table: int = 0,
+                  map_tidx=None):
     """In-place deblock of the three planes. leaf_cus: z-order (x,y,w,h).
     map_refi/map_mv enable the inter strength rules (get_tbl_qp_to_st,
-    xeve_df.c:34-87)."""
+    xeve_df.c:34-87).  map_tidx (SCU tile ids) skips edges crossing tile
+    boundaries (loop_filter_across_tiles_enabled_flag == 0)."""
     bd = bit_depth
 
     def strength_idx(a, b):
@@ -121,8 +123,12 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                     plane[yc, xc:xc + 2] = C2
 
     for (x, y, cuw, cuh) in leaf_cus:
-        if x > 0:
+        if x > 0 and (map_tidx is None or
+                      map_tidx[y >> 2, x >> 2] ==
+                      map_tidx[y >> 2, (x >> 2) - 1]):
             filt_ver(x, y, cuh >> 2)
     for (x, y, cuw, cuh) in leaf_cus:
-        if y > 0:
+        if y > 0 and (map_tidx is None or
+                      map_tidx[y >> 2, x >> 2] ==
+                      map_tidx[(y >> 2) - 1, x >> 2]):
             filt_hor(x, y, cuw >> 2)

@@ -31,6 +31,8 @@ class EncoderParams:
     tune: str = ""               # "" | zerolatency | psnr
     search_range: int = -1       # -1: preset default, scaled by width
     min_cu_log2: int = -1        # -1: preset default (2 = allow 4x4 CUs)
+    tile_columns: int = 1
+    tile_rows: int = 1
     rc_type: str = "cq"          # cq | abr | crf
     bitrate_kbps: float = 0.0
     crf: int = 32
@@ -66,6 +68,10 @@ class EncoderParams:
                 "Main tools require profile=1"
         if not self.tool_cm_init:
             assert not self.tool_adcc, "ADCC requires cm_init (SPS syntax)"
+        if self.tile_columns * self.tile_rows > 1:
+            assert self.profile == 1, "tiles require the Main profile PPS"
+            assert self.tile_columns <= (self.w + 63) // 64
+            assert self.tile_rows <= (self.h + 63) // 64
         return self
 
     # preset tables (speed<->quality ladder, mirroring the reference's

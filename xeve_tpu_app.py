@@ -31,6 +31,9 @@ def main():
     ap.add_argument("-b", "--bframes", type=int, default=0,
                     help="15: random-access GOP16 hierarchical B")
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    ap.add_argument("--tile-columns", type=int, default=1)
+    ap.add_argument("--tile-rows", type=int, default=1)
+    ap.add_argument("-m", "--threads", type=int, default=1)
     ap.add_argument("--preset", default="medium",
                     choices=("fast", "medium", "slow", "placebo"))
     ap.add_argument("--tune", default="", choices=("", "zerolatency", "psnr"))
@@ -69,6 +72,8 @@ def main():
         w=w, h=h, qp=args.qp, keyint=args.keyint, bframes=args.bframes,
         profile=1 if args.profile == "main" else 0,
         preset=args.preset, tune=args.tune,
+        tile_columns=args.tile_columns, tile_rows=args.tile_rows,
+        threads=args.threads,
         rc_type=args.rc if args.rc != "cqp" else "cq",
         bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
