@@ -45,7 +45,7 @@ def test_native_pass_bitexact_vs_numpy(qp, rdoq, deblock):
     py_payload = sbac.finish()
     py_bins = sbac.bin_counter
 
-    payload, bins, nry, nru, nrv = encode_intra_frame_native(
+    payload, bins, nry, nru, nrv, _tl = encode_intra_frame_native(
         w, h, bd, qp, 0, 0, y, u, v, an, use_rdoq=rdoq, use_deblock=deblock)
     assert payload == py_payload
     assert bins == py_bins

@@ -307,13 +307,6 @@ class Encoder:
                 np.asarray(y, np.int32), np.asarray(u, np.int32),
                 np.asarray(v, np.int32), qp, qp_y, qp_u, qp_v, bd,
                 tool_iqt=p.tool_iqt, min_log2=p.min_cu_log2)
-        sh = SliceHeader(slice_type=SLICE_I, qp=qp,
-                         qp_u_offset=p.qp_cb_offset,
-                         qp_v_offset=p.qp_cr_offset,
-                         deblocking_filter_on=1 if p.use_deblock else 0)
-        bw = BitWriter()
-        NalHeader(nut, 0).write(bw)
-        sh.write(bw, nut, self.sps, self.pps)
         if self.coder_engine == "native" and not p.tool_htdf:
             from .enc.intra_frame_native import encode_intra_frame_native
             slice_payload, bin_count, rec_y, rec_u, rec_v, tile_lens = \
@@ -328,6 +321,7 @@ class Encoder:
                                           tile_rows=p.tile_rows,
                                           threads=p.threads)
         else:
+            from .enc.main_intra_frame import MainIntraFramePass
             sbac = SbacEncoder()
             ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
             fp = MainIntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
