@@ -50,6 +50,8 @@ class Encoder:
         self._dev = None
         self.dpb = []          # DPB entries (padded recon + mv map + tid)
         self.poc = 0
+        self.last_intra_poc = -(10 ** 9)   # list constraint (decoder parity)
+        self._poc_state = picman_np.PocState()  # decoder-derivation mirror
         self._gop_in = []      # pending display-order frames (RA reordering)
         self._gop_base = 0
         self._first_done = False
@@ -76,7 +78,7 @@ class Encoder:
             bit_depth_luma_minus8=p.codec_bit_depth - 8,
             bit_depth_chroma_minus8=p.codec_bit_depth - 8,
             chroma_format_idc=1,
-            max_num_ref_pics=1,
+            max_num_ref_pics=p.ref_pics,
             log2_sub_gop_length=4 if p.bframes >= 15 else 0,
             log2_ref_pic_gap_length=0,
             # main profile always signals dquant (xevem_util.c:3196); our
@@ -216,6 +218,7 @@ class Encoder:
         if slice_type == SLICE_P:
             return self._encode_frame_p(y, u, v, analysis_pre)
         nut = NUT_IDR if (self.pic_cnt == 0 or (p.closed_gop and p.keyint == 1)) else NUT_NONIDR
+        self.last_intra_poc = self.poc   # decoder excludes pre-I refs
 
         out = b""
         if self.pic_cnt == 0 or (nut == NUT_IDR and self.pic_cnt > 0):
@@ -393,16 +396,19 @@ class Encoder:
         if qp is None:
             qp = self._slice_qp(SLICE_P)
         qp_y, qp_u, qp_v = self._qp_triplet(qp)
-        refp = sorted([q for q in self.dpb if q.get("ref", True)],
-                      key=lambda q: -q["poc"])[:1]
+        refp, _ = picman_np.build_ref_lists(
+            self.dpb, self.poc, 0, SLICE_B, SLICE_P, SLICE_P,
+            self.sps.max_num_ref_pics, self.last_intra_poc)
         if analysis_pre is not None:
             an = analysis_pre
         elif self.analysis_engine == "device":
             dev = self._device()
             if not dev.has_frame(self.poc):
                 dev.put_frame(self.poc, y, u, v)
+            r0b = refp[1]["poc"] if len(refp) > 1 else None
             an = dev.collect(dev.dispatch(self.poc, qp, qp_y, qp_u, qp_v,
-                                          ref_poc=refp[0]["poc"]))
+                                          ref_poc=refp[0]["poc"],
+                                          ref0b_poc=r0b))
         else:
             an = self._analyze_inter(np.asarray(y, np.int32),
                                      np.asarray(u, np.int32),
@@ -453,6 +459,9 @@ class Encoder:
                                     tile_rows=p.tile_rows,
                                     threads=p.threads)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
+        assert (refp is None or len(refp) <= 1) and \
+               (refp1 is None or len(refp1) <= 1), \
+            "multi-ref (ref_pics>1) requires the native coder"
         sbac = SbacEncoder()
         ctx = SbacCtx()
         fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
@@ -601,8 +610,17 @@ class Encoder:
             qp = self._qp_guess(st)
             qp_y, qp_u, qp_v = self._qp_triplet(qp)
             dev.put_frame(disp, y, u, v)
-            ref = None if st == SLICE_I else disp - 1
-            hd = dev.dispatch(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref)
+            ref = ref0b = None
+            if st != SLICE_I:
+                ref = disp - 1
+                # second L0 ref (refi=1): previous-but-one, unless it
+                # precedes the last I (decoder list constraint)
+                last_i = (disp // p.keyint) * p.keyint if p.keyint > 1 else 0
+                if (p.ref_pics > 1 and disp - 2 >= last_i
+                        and dev.has_frame(disp - 2)):
+                    ref0b = disp - 2
+            hd = dev.dispatch(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref,
+                              ref0b_poc=ref0b)
             pending.append(((y, u, v), hd))
             disp += 1
 
@@ -672,6 +690,7 @@ class GopEncoder(Encoder):
         self._gop_in.append(self._pad_input(y, u, v))
         out = []
         if not self._first_done:
+            self._poc_state.derive(True, 0, 4)
             bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
             self._gop_in_base0 = None
             self._first_done = True
@@ -682,51 +701,67 @@ class GopEncoder(Encoder):
             out.extend(self._encode_subgop())
         return out
 
+    def _ra_order_derived(self, base, limit=None):
+        """Coding order of one (possibly truncated) sub-GOP with the POC
+        every conformant decoder will DERIVE from the tid sequence
+        (xeve_poc_derivation) rather than the display-grid value:
+        [(poc, disp_poc, tid, is_ref)].  For complete sub-GOPs poc ==
+        disp_poc; for a truncated FIRST sub-GOP (bumping before poc 16
+        exists) the derivation shifts — using the derived value keeps the
+        encoder's DPB/ref-list/scaling state identical to the decoder's.
+        (The reference encoder itself diverges from its own decoder
+        derivation in this case, xeve_enc.c:1146-1160.)  Advances the
+        derivation state: call exactly once per coded sub-GOP."""
+        out = []
+        for (disp, tid, is_ref) in picman_np.ra_gop16_order(base):
+            if limit is not None and disp > limit:
+                continue
+            poc = self._poc_state.derive(False, tid, 4)
+            out.append((poc, disp, tid, is_ref))
+        return out
+
     def flush(self):
         """Encode trailing frames as a truncated sub-GOP: the hierarchical
-        coding order restricted to existing pocs.  POCs stay on the GOP grid
-        so the decoder's tid-based POC derivation still resolves them.
-        With the device engine all remaining analyses are dispatched ahead
-        (same overlap as the full-GOP pipeline)."""
+        coding order restricted to existing display pocs, coded under the
+        decoder-derived POCs (_ra_order_derived).  With the device engine
+        all remaining analyses are dispatched ahead (same overlap as the
+        full-GOP pipeline)."""
         out = []
         base = self._gop_base
         n_left = len(self._gop_in) - 1
         limit = base + n_left
-        order = [(p, t, r) for (p, t, r) in picman_np.ra_gop16_order(base)
-                 if p <= limit]
+        order = self._ra_order_derived(base, limit)
         if self.analysis_engine == "device" and order and n_left > 0:
             dev = self._device()
-            for (poc, tid, is_ref) in order:
-                dev.put_frame(poc, *self._gop_in[poc - base])
+            for (poc, disp, tid, is_ref) in order:
+                dev.put_frame(poc, *self._gop_in[disp - base])
             if not dev.has_frame(base):
                 dev.put_frame(base, *self._gop_in[0])
             handles = []
-            for (poc, tid, is_ref) in order:
-                depth = 1 if poc % 16 == 0 else tid + 1
+            shadow = self._shadow_dpb()
+            for (poc, disp, tid, is_ref) in order:
+                depth = 1 if disp % 16 == 0 else tid + 1
                 qp = self._ra_qp(depth) if self.rc is None \
                     else self._qp_guess(SLICE_B)
                 qp_y, qp_u, qp_v = self._qp_triplet(qp)
-                low = poc & -poc
-                ref0 = poc - low if poc % 16 else poc - 16
-                ref1 = poc + low if poc % 16 else None
-                if ref1 is not None and (ref1 > limit
-                                         or not dev.has_frame(ref1)):
-                    ref1 = None
-                if not dev.has_frame(ref0):
-                    ref0 = base
+                ref0, ref0b, ref1, ref1b = self._predict_refs(shadow, dev,
+                                                              poc, tid, base)
                 hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v, ref_poc=ref0,
-                                  ref1_poc=ref1)
-                handles.append((poc, tid, is_ref, hd))
-            for (poc, tid, is_ref, hd) in handles:
+                                  ref1_poc=ref1, ref0b_poc=ref0b,
+                                  ref1b_poc=ref1b)
+                handles.append((poc, disp, tid, is_ref, hd))
+                picman_np.dpb_mark_and_insert(
+                    shadow, {"poc": poc, "tid": tid, "ref": is_ref}, False)
+            for (poc, disp, tid, is_ref, hd) in handles:
                 an = dev.collect(hd)
-                bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+                bs, rec = self._encode_ra_frame(poc, tid, disp - base, is_ref,
                                                 SLICE_B, analysis_pre=an)
-                out.append((bs, rec, poc))
+                out.append((bs, rec, disp))
         else:
-            for (poc, tid, is_ref) in order:
-                bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+            for (poc, disp, tid, is_ref) in order:
+                bs, rec = self._encode_ra_frame(poc, tid, disp - base, is_ref,
                                                 SLICE_B)
-                out.append((bs, rec, poc))
+                out.append((bs, rec, disp))
         self._gop_in = self._gop_in[-1:]
         self._gop_base = limit
         return out
@@ -734,10 +769,10 @@ class GopEncoder(Encoder):
     def _encode_subgop(self):
         out = []
         base = self._gop_base
-        for (poc, tid, is_ref) in picman_np.ra_gop16_order(base):
-            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+        for (poc, disp, tid, is_ref) in self._ra_order_derived(base):
+            bs, rec = self._encode_ra_frame(poc, tid, disp - base, is_ref,
                                             SLICE_B)
-            out.append((bs, rec, poc))
+            out.append((bs, rec, disp))
         self._gop_base = base + 16
         self._gop_in = self._gop_in[-1:]
         return out
@@ -760,6 +795,7 @@ class GopEncoder(Encoder):
         for fr in frames:
             self._gop_in.append(self._pad_input(*fr))
             if not self._first_done:
+                self._poc_state.derive(True, 0, 4)
                 bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
                 self._first_done = True
                 yield bs, rec, 0
@@ -770,32 +806,53 @@ class GopEncoder(Encoder):
 
     def _encode_subgop_pipelined(self, dev):
         base = self._gop_base
-        order = picman_np.ra_gop16_order(base)
-        for (poc, _tid, _is_ref) in order:
-            y, u, v = self._gop_in[poc - base]
+        order = self._ra_order_derived(base)
+        for (poc, disp, _tid, _is_ref) in order:
+            y, u, v = self._gop_in[disp - base]
             dev.put_frame(poc, y, u, v)
         handles = []
-        for (poc, tid, is_ref) in order:
-            depth = 1 if poc % 16 == 0 else tid + 1
+        shadow = self._shadow_dpb()
+        for (poc, disp, tid, is_ref) in order:
+            depth = 1 if disp % 16 == 0 else tid + 1
             qp = self._ra_qp(depth) if self.rc is None \
                 else self._qp_guess(SLICE_B)
             qp_y, qp_u, qp_v = self._qp_triplet(qp)
-            low = poc & -poc
-            ref0 = poc - low if poc % 16 else poc - 16
-            ref1 = poc + low if poc % 16 else None
-            if ref1 is not None and (ref1 > base + 16
-                                     or not dev.has_frame(ref1)):
-                ref1 = None
+            ref0, ref0b, ref1, ref1b = self._predict_refs(shadow, dev,
+                                                          poc, tid, base)
             hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
-                              ref_poc=ref0, ref1_poc=ref1)
-            handles.append((poc, tid, is_ref, hd))
-        for (poc, tid, is_ref, hd) in handles:
+                              ref_poc=ref0, ref1_poc=ref1,
+                              ref0b_poc=ref0b, ref1b_poc=ref1b)
+            handles.append((poc, disp, tid, is_ref, hd))
+            picman_np.dpb_mark_and_insert(
+                shadow, {"poc": poc, "tid": tid, "ref": is_ref}, False)
+        for (poc, disp, tid, is_ref, hd) in handles:
             an = dev.collect(hd)
-            bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
+            bs, rec = self._encode_ra_frame(poc, tid, disp - base, is_ref,
                                             SLICE_B, analysis_pre=an)
-            yield bs, rec, poc
+            yield bs, rec, disp
         self._gop_base = base + 16
         self._gop_in = self._gop_in[-1:]
+
+    def _shadow_dpb(self):
+        """Lightweight copy of the DPB metadata for dispatch-ahead ref-list
+        prediction (mirrors what build_ref_lists will see at coding time)."""
+        return [{"poc": q["poc"], "tid": q["tid"],
+                 "ref": q.get("ref", True)} for q in self.dpb]
+
+    def _predict_refs(self, shadow, dev, poc, tid, base):
+        """Predict (ref0, ref0b, ref1, ref1b) pocs for the dispatch-ahead
+        analysis of a RA B frame, from the simulated DPB state — identical
+        list construction to the coding-time build_ref_lists call."""
+        l0, l1 = picman_np.build_ref_lists(
+            shadow, poc, tid, SLICE_B, SLICE_P, SLICE_B,
+            self.sps.max_num_ref_pics, self.last_intra_poc)
+        p0 = [q["poc"] for q in l0 if dev.has_frame(q["poc"])]
+        p1 = [q["poc"] for q in l1 if dev.has_frame(q["poc"])]
+        ref0 = p0[0] if p0 else (base if dev.has_frame(base) else None)
+        ref0b = p0[1] if len(p0) > 1 else None
+        ref1 = p1[0] if p1 else None
+        ref1b = p1[1] if len(p1) > 1 else None
+        return ref0, ref0b, ref1, ref1b
 
     def encode_stream_meshed(self, frames, mesh):
         """RA GOP16 stream encode with the sub-GOP's B-frame analyses
@@ -805,10 +862,13 @@ class GopEncoder(Encoder):
         encode_stream output for any mesh size."""
         p = self.p
         assert p.bframes >= 15 and p.keyint != 1, "meshed path is RA GOP16"
+        assert p.ref_pics == 1, \
+            "meshed batch analysis carries L0/L1 refi-0 planes only"
         dev = self._device()
         for fr in frames:
             self._gop_in.append(self._pad_input(*fr))
             if not self._first_done:
+                self._poc_state.derive(True, 0, 4)
                 bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
                 self._first_done = True
                 yield bs, rec, 0
@@ -823,7 +883,10 @@ class GopEncoder(Encoder):
         from .enc.device_analyzer import _Handle, PAD
         from .enc.analysis_jax import level_params
         base = self._gop_base
-        order = picman_np.ra_gop16_order(base)
+        # full sub-GOP only: derived poc == display poc; the call still
+        # advances the derivation state for a later truncated flush
+        order = [(poc, tid, is_ref)
+                 for (poc, disp, tid, is_ref) in self._ra_order_derived(base)]
         for (poc, _tid, _is_ref) in order:
             y, u, v = self._gop_in[poc - base]
             dev.put_frame(poc, y, u, v)
@@ -881,7 +944,9 @@ class GopEncoder(Encoder):
             for j, (poc, _, _, _, _) in enumerate(b_items):
                 handles[poc] = _Handle(vecs[j], "B", self.p.h_aligned,
                                        self.p.w_aligned, dev.min_log2,
-                                       dev.max_log2)
+                                       dev.max_log2,
+                                       planes=(True, False, True, False,
+                                               True))
         for (poc, tid, is_ref) in order:
             an = dev.collect(handles[poc])
             bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,
@@ -909,6 +974,7 @@ class GopEncoder(Encoder):
         v = np.asarray(v, np.int32)
         if slice_type == SLICE_I:
             depth = 0
+            self.last_intra_poc = poc
         elif poc % 16 == 0:
             depth = 1
         else:
@@ -937,9 +1003,15 @@ class GopEncoder(Encoder):
                 else None
             ref1_poc = refp1[0]["poc"] if (slice_type == SLICE_B and refp1) \
                 else None
+            ref0b_poc = refp[1]["poc"] if (slice_type != SLICE_I
+                                           and len(refp) > 1) else None
+            ref1b_poc = refp1[1]["poc"] if (slice_type == SLICE_B
+                                            and len(refp1) > 1) else None
             an = dev.collect(dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
                                           ref_poc=ref_poc,
-                                          ref1_poc=ref1_poc))
+                                          ref1_poc=ref1_poc,
+                                          ref0b_poc=ref0b_poc,
+                                          ref1b_poc=ref1b_poc))
         elif slice_type == SLICE_I:
             if p.tool_eipd:
                 if self.analysis_engine in ("jax", "device"):

@@ -79,6 +79,7 @@ class BaselineIntraDecoder:
         self.poc = 0
         self.last_intra_poc = -(10 ** 9)
         self.pad_l = 64 + 16           # PIC_PAD_SIZE_L
+        self.saw_refi1 = False         # any CU decoded with refi > 0
 
     # -- top level ----------------------------------------------------------
     def decode(self, stream: bytes) -> list[DecodedFrame]:
@@ -752,6 +753,7 @@ class BaselineIntraDecoder:
         """xeve_eco_refi inverse."""
         if sbac.decode_bin(ctx.refi, 0) == 0:
             return 0
+        self.saw_refi1 = True
         if num_refp == 2:
             return 1
         for i in range(2, num_refp):

@@ -40,8 +40,11 @@ def _integer_me_dispatch(cur_y, ref_y_pad, pad, search_range):
 
 @dataclass
 class InterAnalysisResult(AnalysisResult):
-    mv: dict = None          # per level: (nby, nbx, 2) quarter-pel (L0)
+    mv: dict = None          # per level: (nby, nbx, 2) quarter-pel (L0 refi 0)
     mv1: dict = None         # per level L1 MVs (B slices), else None
+    mv0b: dict = None        # per level L0 refi=1 MVs (multi-ref), else None
+    mv1b: dict = None        # per level L1 refi=1 MVs, else None
+    mvbi: dict = None        # per level bi-refined L1 MVs (analyze_bi analog)
     mode_bias: dict = None
 
 
@@ -141,9 +144,21 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
     elif refp1:
         mv16_b = mv16
 
+    def _extra_ref_me(r):
+        mvi, _ = _integer_me_dispatch(orig_y, r["y_pad"], pad, search_range)
+        return subpel_refine(orig_y, r["y_pad"], pad, mvi, bd) \
+            if do_subpel else (mvi << 2)
+
+    # multi-ref: per-ref ME planes for refi=1 of each list
+    # (xeve_pinter.c:1839 per-ref ME loop)
+    mv16_0b = _extra_ref_me(refp[1]) if len(refp) > 1 else None
+    mv16_1b = _extra_ref_me(refp1[1]) if (refp1 and len(refp1) > 1) else None
+
     mode = {}
     mv = {}
     mv1 = {} if mv16_b is not None else None
+    mv0b = {} if mv16_0b is not None else None
+    mv1b = {} if mv16_1b is not None else None
     leaf_cost = {}
     w_u = 2.0 ** ((qp_y - qp_u) / 3.0)
     w_v = 2.0 ** ((qp_y - qp_v) / 3.0)
@@ -173,6 +188,10 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
         mv[lg] = mv_l
         if mv1 is not None:
             mv1[lg] = _mv_for_level(mv16_b, lg, nby, nbx)
+        if mv0b is not None:
+            mv0b[lg] = _mv_for_level(mv16_0b, lg, nby, nbx)
+        if mv1b is not None:
+            mv1b[lg] = _mv_for_level(mv16_1b, lg, nby, nbx)
         leaf_cost[lg] = np.minimum(intra.leaf_cost[lg], cost_i)
 
     tree_cost = {min_log2: corrected_leaf(min_log2, leaf_cost[min_log2])}
@@ -190,4 +209,5 @@ def analyze_frame_inter(orig_y, orig_u, orig_v, refp, qp, qp_y, qp_u, qp_v,
         tree_cost[lg] = np.where(split[lg], sum4 + lam, leafc)
 
     return InterAnalysisResult(mode=mode, split=split, leaf_cost=leaf_cost,
-                               tree_cost=tree_cost, mv=mv, mv1=mv1)
+                               tree_cost=tree_cost, mv=mv, mv1=mv1,
+                               mv0b=mv0b, mv1b=mv1b)

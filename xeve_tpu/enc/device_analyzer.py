@@ -147,11 +147,50 @@ def _partition_dp_dev(leaf_cost, lam, h, w, min_log2, max_log2):
     return split
 
 
-def _fused_impl(y16, u16, v16, ref0, ref1, prms, prm3, *,
-                bd, R, pad, min_log2, max_log2, kind):
-    """kind: 'I' | 'P' | 'B'.  ref0/ref1: (y16,u16,v16) originals or None.
+def _bi_refine(y_i32, planes0, planes1, mv0c, mv1c, pad, h, w, R):
+    """Joint bi-prediction refinement of the L1 MV plane given the L0 plane
+    (analyze_bi analog, xeve_pinter.c:1567): minimize |2*cur − pred0 −
+    pred1(mv1+d)| over a coarse-then-fine qpel offset grid.  Returns the
+    refined 16x16 L1 MV plane (ceil grid)."""
+    nby, nbx = h // 16, w // 16
+    cur = _cur_blocks(y_i32, 16)[:nby, :nbx].astype(jnp.float32)
+    mv0 = mv0c[:nby, :nbx]
+    mv1 = mv1c[:nby, :nbx]
+    p0 = _gather_blocks(planes0, mv0, 16, pad, nby, nbx).astype(jnp.float32)
+    tgt = 2.0 * cur - p0
+    lim = 4 * (R + 2)
+
+    def refine_pass(mv_cur, offs):
+        cands, costs = [], []
+        for dy in offs:
+            for dx in offs:
+                cand = jnp.clip(mv_cur + jnp.array([dx, dy], jnp.int32),
+                                -lim, lim)
+                p1 = _gather_blocks(planes1, cand, 16, pad, nby,
+                                    nbx).astype(jnp.float32)
+                cands.append(cand)
+                costs.append(((tgt - p1) ** 2).sum(axis=(-1, -2)))
+        cost = jnp.stack(costs)                     # (n_cand, nby, nbx)
+        best = jnp.argmin(cost, axis=0)             # (nby, nbx)
+        cand = jnp.stack(cands)                     # (n_cand, nby, nbx, 2)
+        return jnp.take_along_axis(
+            cand, best[None, :, :, None], axis=0)[0]
+
+    mv_r = refine_pass(mv1, (-8, -4, 0, 4, 8))
+    mv_r = refine_pass(mv_r, (-2, -1, 0, 1, 2))
+    py = _ceil_div(h, 16) - nby
+    px = _ceil_div(w, 16) - nbx
+    return jnp.pad(mv_r, ((0, py), (0, px), (0, 0)), mode="edge")
+
+
+def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
+                bd, R, pad, min_log2, max_log2, refine):
+    """refs: (y16,u16,v16) originals or None — ref0/ref0b are L0 refi 0/1,
+    ref1/ref1b are L1 refi 0/1 (multi-ref per xeve_picman.c:271 lists).
     prms: (n_levels, 15) per-level quant params; prm3: (3,) lam/w_u/w_v.
-    Returns one packed int16 vector."""
+    Returns one packed int16 vector: mode/split per level, then the 16x16
+    qpel MV planes for each present ref in order [L0r0, L0r1, L1r0, L1r1,
+    bi-refined L1]."""
     h, w = y16.shape
     yf = y16.astype(jnp.float32)
     uf = u16.astype(jnp.float32)
@@ -167,20 +206,30 @@ def _fused_impl(y16, u16, v16, ref0, ref1, prms, prm3, *,
         mode[lg] = m
         leaf[lg] = c
 
-    mv16c = mv16c_1 = None
-    if kind in ("P", "B"):
+    mv16c = mv16c_0b = mv16c_1 = mv16c_1b = mv16c_bi = None
+    planes0 = planes1 = None
+    if ref0 is not None:
         ry = jnp.pad(ref0[0].astype(jnp.int32), pad, mode="edge")
         ru = jnp.pad(ref0[1].astype(jnp.int32), pad // 2, mode="edge")
         rv = jnp.pad(ref0[2].astype(jnp.int32), pad // 2, mode="edge")
-        mv16c, planes = _me_mv16c(y_i32, ry, R, pad, h, w, bd)
-        icosts = _inter_level_costs(y_i32, u_i32, v_i32, planes, ru, rv,
+        mv16c, planes0 = _me_mv16c(y_i32, ry, R, pad, h, w, bd)
+        icosts = _inter_level_costs(y_i32, u_i32, v_i32, planes0, ru, rv,
                                     mv16c, prm3, pad, min_log2, max_log2,
                                     h, w)
         for lg in leaf:
             leaf[lg] = jnp.minimum(leaf[lg], icosts[lg])
-    if kind == "B":
+    if ref0b is not None:
+        ryb = jnp.pad(ref0b[0].astype(jnp.int32), pad, mode="edge")
+        mv16c_0b, _ = _me_mv16c(y_i32, ryb, R, pad, h, w, bd)
+    if ref1 is not None:
         ry1 = jnp.pad(ref1[0].astype(jnp.int32), pad, mode="edge")
-        mv16c_1, _ = _me_mv16c(y_i32, ry1, R, pad, h, w, bd)
+        mv16c_1, planes1 = _me_mv16c(y_i32, ry1, R, pad, h, w, bd)
+    if ref1b is not None:
+        ry1b = jnp.pad(ref1b[0].astype(jnp.int32), pad, mode="edge")
+        mv16c_1b, _ = _me_mv16c(y_i32, ry1b, R, pad, h, w, bd)
+    if refine and ref0 is not None and ref1 is not None:
+        mv16c_bi = _bi_refine(y_i32, planes0, planes1, mv16c, mv16c_1,
+                              pad, h, w, R)
 
     split = _partition_dp_dev(leaf, lam, h, w, min_log2, max_log2)
 
@@ -188,16 +237,15 @@ def _fused_impl(y16, u16, v16, ref0, ref1, prms, prm3, *,
     for lg in range(min_log2, max_log2 + 1):
         parts.append(mode[lg].astype(jnp.int16).reshape(-1))
         parts.append(split[lg].reshape(-1))
-    if mv16c is not None:
-        parts.append(mv16c.astype(jnp.int16).reshape(-1))
-    if mv16c_1 is not None:
-        parts.append(mv16c_1.astype(jnp.int16).reshape(-1))
+    for m in (mv16c, mv16c_0b, mv16c_1, mv16c_1b, mv16c_bi):
+        if m is not None:
+            parts.append(m.astype(jnp.int16).reshape(-1))
     return jnp.concatenate(parts)
 
 
 _fused_jit = jax.jit(_fused_impl,
                      static_argnames=("bd", "R", "pad", "min_log2",
-                                      "max_log2", "kind"))
+                                      "max_log2", "refine"))
 
 
 # ---------------------------------------------------------------------------
@@ -206,13 +254,21 @@ _fused_jit = jax.jit(_fused_impl,
 
 
 class _Handle:
-    __slots__ = ("vec", "kind", "h", "w", "min_log2", "max_log2")
+    """kind: 'I' | 'P' | 'B' (legacy) — or pass `planes`, a 5-tuple of
+    bools (L0r0, L0r1, L1r0, L1r1, bi-refined) saying which MV planes the
+    packed vector carries."""
+    __slots__ = ("vec", "kind", "h", "w", "min_log2", "max_log2", "planes")
 
-    def __init__(self, vec, kind, h, w, min_log2, max_log2):
+    def __init__(self, vec, kind, h, w, min_log2, max_log2, planes=None):
         self.vec = vec
         self.kind = kind
         self.h, self.w = h, w
         self.min_log2, self.max_log2 = min_log2, max_log2
+        if planes is None:
+            planes = {"I": (False,) * 5,
+                      "P": (True, False, False, False, False),
+                      "B": (True, False, True, False, False)}[kind]
+        self.planes = planes
 
 
 class DeviceAnalyzer:
@@ -249,7 +305,10 @@ class DeviceAnalyzer:
     # -- analysis --------------------------------------------------------
     def dispatch(self, poc: int, qp: int, qp_y: int, qp_u: int, qp_v: int,
                  ref_poc: int | None = None,
-                 ref1_poc: int | None = None) -> _Handle:
+                 ref1_poc: int | None = None,
+                 ref0b_poc: int | None = None,
+                 ref1b_poc: int | None = None,
+                 bi_refine: bool = True) -> _Handle:
         y, u, v = self.ring[poc]
         kind = "I" if ref_poc is None else (
             "B" if (ref1_poc is not None and ref1_poc != ref_poc) else "P")
@@ -262,12 +321,21 @@ class DeviceAnalyzer:
         prm3 = jnp.asarray(np.array([lam, w_u, w_v], np.float32))
         ref0 = self.ring[ref_poc] if kind in ("P", "B") else None
         ref1 = self.ring[ref1_poc] if kind == "B" else None
-        vec = _fused_jit(y, u, v, ref0, ref1, prms, prm3,
+        ref0b = (self.ring[ref0b_poc]
+                 if (kind != "I" and ref0b_poc is not None
+                     and ref0b_poc in self.ring) else None)
+        ref1b = (self.ring[ref1b_poc]
+                 if (kind == "B" and ref1b_poc is not None
+                     and ref1b_poc in self.ring) else None)
+        refine = bool(bi_refine and kind == "B")
+        vec = _fused_jit(y, u, v, ref0, ref0b, ref1, ref1b, prms, prm3,
                          bd=self.bd, R=self.R, pad=PAD,
                          min_log2=self.min_log2, max_log2=self.max_log2,
-                         kind=kind)
+                         refine=refine)
+        planes = (ref0 is not None, ref0b is not None, ref1 is not None,
+                  ref1b is not None, refine)
         return _Handle(vec, kind, self.h, self.w, self.min_log2,
-                       self.max_log2)
+                       self.max_log2, planes=planes)
 
     def collect(self, hd: _Handle):
         """Block on the packed transfer; build the decision maps the coding
@@ -289,22 +357,26 @@ class DeviceAnalyzer:
                                   tree_cost=None)
         nby16c, nbx16c = _ceil_div(h, 16), _ceil_div(w, 16)
         n16 = nby16c * nbx16c * 2
-        mv16c = vec[off:off + n16].reshape(nby16c, nbx16c, 2).astype(np.int32)
-        off += n16
-        mv = {}
-        for lg in range(hd.min_log2, hd.max_log2 + 1):
-            s = 1 << lg
-            mv[lg] = _mv_for_level_np(mv16c, lg, h // s, w // s)
-        mv1 = None
-        if hd.kind == "B":
-            if off < len(vec):
-                mv16c_1 = vec[off:off + n16].reshape(nby16c, nbx16c, 2) \
-                                            .astype(np.int32)
-                mv1 = {}
-                for lg in range(hd.min_log2, hd.max_log2 + 1):
-                    s = 1 << lg
-                    mv1[lg] = _mv_for_level_np(mv16c_1, lg, h // s, w // s)
-            else:
-                mv1 = {lg: mv[lg] for lg in mv}
+
+        def next_plane():
+            nonlocal off
+            m16 = vec[off:off + n16].reshape(nby16c, nbx16c,
+                                             2).astype(np.int32)
+            off += n16
+            maps = {}
+            for lg in range(hd.min_log2, hd.max_log2 + 1):
+                s = 1 << lg
+                maps[lg] = _mv_for_level_np(m16, lg, h // s, w // s)
+            return maps
+
+        has0, has0b, has1, has1b, hasbi = hd.planes
+        mv = next_plane() if has0 else None
+        mv0b = next_plane() if has0b else None
+        mv1 = next_plane() if has1 else None
+        mv1b = next_plane() if has1b else None
+        mvbi = next_plane() if hasbi else None
+        if hd.kind == "B" and mv1 is None:
+            mv1 = {lg: mv[lg] for lg in mv}
         return InterAnalysisResult(mode=mode, split=split, leaf_cost=None,
-                                   tree_cost=None, mv=mv, mv1=mv1)
+                                   tree_cost=None, mv=mv, mv1=mv1,
+                                   mv0b=mv0b, mv1b=mv1b, mvbi=mvbi)

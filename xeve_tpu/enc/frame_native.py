@@ -98,9 +98,19 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
     mode_tbl = u8_table(mode_maps, mode_maps)
     mv_tbl = i32_table(getattr(analysis, "mv", None))
     mv1_tbl = i32_table(getattr(analysis, "mv1", None))
+    mv0b_tbl = i32_table(getattr(analysis, "mv0b", None))
+    mv1b_tbl = i32_table(getattr(analysis, "mv1b", None))
+    mvbi_tbl = i32_table(getattr(analysis, "mvbi", None))
 
-    ref0 = _ref_pic(refp[0], keep) if refp else None
-    ref1 = _ref_pic(refp1[0], keep) if refp1 else None
+    def _ref_list(lst):
+        if not lst:
+            return None, 0
+        arr = (XtRefPic * len(lst))(*[_ref_pic(r, keep) for r in lst])
+        keep.append(arr)
+        return arr, len(lst)
+
+    refs0, n0 = _ref_list(refp)
+    refs1, n1 = _ref_list(refp1)
 
     ret = lib.xt_encode_frame(
         ctypes.byref(cfg),
@@ -109,10 +119,11 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
         oy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ou.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        ctypes.byref(ref0) if ref0 is not None else None,
-        ctypes.byref(ref1) if ref1 is not None else None,
+        refs0, ctypes.c_int32(n0),
+        refs1, ctypes.c_int32(n1),
         split_tbl, mode_tbl,
         mv_tbl, mv1_tbl,
+        mv0b_tbl, mv1b_tbl, mvbi_tbl,
         out.ctypes.data_as(_u8p), ctypes.c_int64(cap),
         rec_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         rec_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -91,9 +91,12 @@ def get_lib():
         ctypes.POINTER(XtFrameCfg),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # slice_type, poc, pad_l
         i16p, i16p, i16p,
-        ctypes.POINTER(XtRefPic), ctypes.POINTER(XtRefPic),
+        ctypes.POINTER(XtRefPic), ctypes.c_int32,         # L0 list, count
+        ctypes.POINTER(XtRefPic), ctypes.c_int32,         # L1 list, count
         ctypes.POINTER(u8p), ctypes.POINTER(u8p),         # split/mode map tables
         ctypes.POINTER(i32p), ctypes.POINTER(i32p),       # mv/mv1 map tables
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p),       # mv0b/mv1b (refi=1)
+        ctypes.POINTER(i32p),                             # mvbi (bi-refined L1)
         u8p, ctypes.c_int64,
         u16p, u16p, u16p,
         i32p, ctypes.POINTER(ctypes.c_int8),

@@ -596,9 +596,14 @@ typedef struct {
     int slice_type;                 /* 0=B 1=P 2=I */
     int poc;
     int pad_l;                      /* luma pad of ref planes */
-    const XtRefPic *ref0, *ref1;    /* NULL when absent */
+    const XtRefPic *ref0, *ref1;    /* first entry of each list (NULL when absent) */
+    const XtRefPic *refs0, *refs1;  /* full lists (arrays) */
+    int n_ref0, n_ref1;             /* active refs per list (refi coded when >1) */
     const int32_t *const *mv_maps;  /* [lg] -> (nby,nbx,2) qpel or NULL */
     const int32_t *const *mv1_maps;
+    const int32_t *const *mv0b_maps; /* L0 refi=1 ME planes (multi-ref) */
+    const int32_t *const *mv1b_maps; /* L1 refi=1 ME planes */
+    const int32_t *const *mvbi_maps; /* bi-refined L1 planes (analyze_bi analog) */
     int32_t *map_mv;                /* out: (h_scu,w_scu,2,2) */
     int8_t *map_refi;               /* out: (h_scu,w_scu,2) */
     double w_u, w_v;                /* chroma distortion weights */
@@ -1116,6 +1121,23 @@ static void xt_write_mvp_idx(XtSbac *s, XtCtx *c, int idx)
     }
 }
 
+/* reference index, truncated binarization over num_refp entries
+ * (enc/syntax.py write_refi; xeve_eco_refi, xeve_eco.c:1158) */
+static void xt_write_refi(XtSbac *s, XtCtx *c, int refi, int num_refp)
+{
+    if (num_refp <= 1) return;
+    if (refi == 0) { xt_encode_bin(s, &c->refi[0], 0); return; }
+    xt_encode_bin(s, &c->refi[0], 1);
+    if (num_refp > 2) {
+        for (int i = 2; i < num_refp; i++) {
+            int bin = (i == refi + 1) ? 0 : 1;
+            if (i == 2) xt_encode_bin(s, &c->refi[1], bin);
+            else        xt_encode_bin_ep(s, bin);
+            if (!bin) break;
+        }
+    }
+}
+
 static void xt_write_abs_mvd(XtSbac *s, XtCtx *c, int val)
 {
     uint32_t nn = (uint32_t)(val + 1) >> 1;
@@ -1332,10 +1354,24 @@ static void xt_best_mvp_idx(const int32_t mvl[4][2], const int *mvt,
 
 /* store an inter CU: recon copy + SCU map updates (frame_pass.py
  * _store_cu_mv); coefficient syntax is written by the caller */
+static void xt_store_cu_pb_r(XtFrame *f, int x, int y, int lg,
+    const int32_t *ry, const int32_t *ru, const int32_t *rv,
+    int nnz_y, int is_intra, int ipm,
+    const int *mv0, const int *mv1, int refi0, int refi1);
+
 static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
     const int32_t *ry, const int32_t *ru, const int32_t *rv,
     int nnz_y, int is_intra, int ipm,
     const int *mv0, const int *mv1)
+{
+    xt_store_cu_pb_r(f, x, y, lg, ry, ru, rv, nnz_y, is_intra, ipm,
+                     mv0, mv1, 0, 0);
+}
+
+static void xt_store_cu_pb_r(XtFrame *f, int x, int y, int lg,
+    const int32_t *ry, const int32_t *ru, const int32_t *rv,
+    int nnz_y, int is_intra, int ipm,
+    const int *mv0, const int *mv1, int refi0, int refi1)
 {
     int is_skip = (f->cur_is_skip != 0);
     const XtFrameCfg *cfg = f->cfg;
@@ -1359,8 +1395,8 @@ static void xt_store_cu_pb(XtFrame *f, int x, int y, int lg,
             f->map_cbf[idx] = nnz_y ? 1 : 0;
             if (f->map_skip) f->map_skip[idx] = is_skip ? 1 : 0;
             if (!is_intra) {
-                f->map_refi[idx * 2 + 0] = mv0 ? 0 : -1;
-                f->map_refi[idx * 2 + 1] = mv1 ? 0 : -1;
+                f->map_refi[idx * 2 + 0] = mv0 ? (int8_t)refi0 : -1;
+                f->map_refi[idx * 2 + 1] = mv1 ? (int8_t)refi1 : -1;
                 if (mv0) {
                     f->map_mv[(idx * 2 + 0) * 2 + 0] = mv0[0];
                     f->map_mv[(idx * 2 + 0) * 2 + 1] = mv0[1];
@@ -1493,37 +1529,92 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         have_direct = 1;
     }
 
-    /* --- candidate 2: inter MVD (uni L0 / uni L1 / bi) + residual --- */
-    const int32_t *mvm = f->mv_maps[lg];
-    int mv_me0[2] = { mvm[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 0],
-                      mvm[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 1] };
+    /* --- candidate 2: inter MVD over {list, refi} variants + residual.
+     * Legacy single-ref variants come first and are ranked by prediction
+     * SSD with strict <, so the single-ref decision sequence is unchanged;
+     * multi-ref (per-ref ME planes, xeve_pinter.c:1839 refi loop) and the
+     * bi-refined plane (analyze_bi analog, xeve_pinter.c:1567) append
+     * extra variants. --- */
+    typedef struct { int dir, r0, r1, idx0, idx1, extra; int mv0[2], mv1[2]; }
+        XtInterVar;
+    XtInterVar vars[6];
+    int n_var = 0;
+    int refi_b0 = f->n_ref0 > 1 ? 1 : 0;
+    int refi_b1 = f->n_ref1 > 1 ? 1 : 0;
+    const int me_i = ((y >> lg) * nbx_lg + (x >> lg)) * 2;
     int have_mv1 = is_b && f->mv1_maps && f->mv1_maps[lg];
-    int mv_me1[2] = {0, 0};
-    if (have_mv1) {
-        const int32_t *mvm1 = f->mv1_maps[lg];
-        mv_me1[0] = mvm1[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 0];
-        mv_me1[1] = mvm1[((y >> lg) * nbx_lg + (x >> lg)) * 2 + 1];
+    {   /* L0 refi 0 */
+        XtInterVar *v = &vars[n_var++];
+        v->dir = 0; v->r0 = 0; v->r1 = -1;
+        v->mv0[0] = f->mv_maps[lg][me_i]; v->mv0[1] = f->mv_maps[lg][me_i + 1];
+        int bb; xt_best_mvp_idx(mvp, v->mv0, &v->idx0, &bb);
+        v->idx1 = 0;
+        v->extra = v->idx0 + bb + 2 + refi_b0;
     }
-    int idx0, bits0, idx1 = 0, bits1 = 0;
-    xt_best_mvp_idx(mvp, mv_me0, &idx0, &bits0);
-    if (have_mv1) xt_best_mvp_idx(mvp1, mv_me1, &idx1, &bits1);
-    int n_var = have_mv1 ? 3 : 1;
-    int var_extra[3];
-    var_extra[0] = idx0 + bits0 + 2;
-    var_extra[1] = idx1 + bits1 + 2;
-    var_extra[2] = idx0 + bits0 + idx1 + bits1 + 1;
+    if (have_mv1) {
+        {   /* L1 refi 0 */
+            XtInterVar *v = &vars[n_var++];
+            v->dir = 1; v->r0 = -1; v->r1 = 0;
+            v->mv1[0] = f->mv1_maps[lg][me_i];
+            v->mv1[1] = f->mv1_maps[lg][me_i + 1];
+            int bb; xt_best_mvp_idx(mvp1, v->mv1, &v->idx1, &bb);
+            v->idx0 = 0;
+            v->extra = v->idx1 + bb + 2 + refi_b1;
+        }
+        {   /* bi (refi 0/0) */
+            XtInterVar *v = &vars[n_var++];
+            v->dir = 2; v->r0 = 0; v->r1 = 0;
+            v->mv0[0] = vars[0].mv0[0]; v->mv0[1] = vars[0].mv0[1];
+            v->mv1[0] = vars[1].mv1[0]; v->mv1[1] = vars[1].mv1[1];
+            int b0, b1;
+            xt_best_mvp_idx(mvp, v->mv0, &v->idx0, &b0);
+            xt_best_mvp_idx(mvp1, v->mv1, &v->idx1, &b1);
+            v->extra = v->idx0 + b0 + v->idx1 + b1 + 1 + refi_b0 + refi_b1;
+        }
+        if (f->mvbi_maps && f->mvbi_maps[lg]) {
+            /* bi with the jointly-refined L1 MV */
+            XtInterVar *v = &vars[n_var++];
+            v->dir = 2; v->r0 = 0; v->r1 = 0;
+            v->mv0[0] = vars[0].mv0[0]; v->mv0[1] = vars[0].mv0[1];
+            v->mv1[0] = f->mvbi_maps[lg][me_i];
+            v->mv1[1] = f->mvbi_maps[lg][me_i + 1];
+            int b0, b1;
+            xt_best_mvp_idx(mvp, v->mv0, &v->idx0, &b0);
+            xt_best_mvp_idx(mvp1, v->mv1, &v->idx1, &b1);
+            v->extra = v->idx0 + b0 + v->idx1 + b1 + 1 + refi_b0 + refi_b1;
+        }
+    }
+    if (f->n_ref0 > 1 && f->mv0b_maps && f->mv0b_maps[lg]) {
+        XtInterVar *v = &vars[n_var++];   /* L0 refi 1 */
+        v->dir = 0; v->r0 = 1; v->r1 = -1;
+        v->mv0[0] = f->mv0b_maps[lg][me_i];
+        v->mv0[1] = f->mv0b_maps[lg][me_i + 1];
+        int bb; xt_best_mvp_idx(mvp, v->mv0, &v->idx0, &bb);
+        v->idx1 = 0;
+        v->extra = v->idx0 + bb + 2 + refi_b0;
+    }
+    if (is_b && f->n_ref1 > 1 && f->mv1b_maps && f->mv1b_maps[lg]) {
+        XtInterVar *v = &vars[n_var++];   /* L1 refi 1 */
+        v->dir = 1; v->r0 = -1; v->r1 = 1;
+        v->mv1[0] = f->mv1b_maps[lg][me_i];
+        v->mv1[1] = f->mv1b_maps[lg][me_i + 1];
+        int bb; xt_best_mvp_idx(mvp1, v->mv1, &v->idx1, &bb);
+        v->idx0 = 0;
+        v->extra = v->idx1 + bb + 2 + refi_b1;
+    }
     int best_var = 0;
     double best_pred_ssd = 0;
     for (int v = 0; v < n_var; v++) {
-        if (v == 0)
-            xt_mc_cu(f, f->ref0, x, y, s, mv_me0[0], mv_me0[1],
+        const XtInterVar *cv = &vars[v];
+        if (cv->dir == 0)
+            xt_mc_cu(f, &f->refs0[cv->r0], x, y, s, cv->mv0[0], cv->mv0[1],
                      wk->c1_py, wk->c1_pu, wk->c1_pv);
-        else if (v == 1)
-            xt_mc_cu(f, f->ref1, x, y, s, mv_me1[0], mv_me1[1],
+        else if (cv->dir == 1)
+            xt_mc_cu(f, &f->refs1[cv->r1], x, y, s, cv->mv1[0], cv->mv1[1],
                      wk->c1_py, wk->c1_pu, wk->c1_pv);
         else
-            xt_mc_bi(f, x, y, s, mv_me0[0], mv_me0[1], mv_me1[0], mv_me1[1],
-                     wk->c1_py, wk->c1_pu, wk->c1_pv,
+            xt_mc_bi(f, x, y, s, cv->mv0[0], cv->mv0[1], cv->mv1[0],
+                     cv->mv1[1], wk->c1_py, wk->c1_pu, wk->c1_pv,
                      wk->c2_py, wk->c2_pu, wk->c2_pv);
         double pssd = xt_wssd(f, x, y, s, wk->c1_py, wk->c1_pu, wk->c1_pv);
         if (v == 0 || pssd < best_pred_ssd) {
@@ -1534,14 +1625,18 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
             memcpy(wk->ib_pv, wk->c1_pv, sizeof(int32_t) * sc * sc);
         }
     }
-    int pred_dir = best_var;   /* 0=L0, 1=L1, 2=bi */
+    const XtInterVar *sel = &vars[best_var];
+    int pred_dir = sel->dir;   /* 0=L0, 1=L1, 2=bi */
+    int idx0 = sel->idx0, idx1 = sel->idx1;
+    const int *mv_me0 = sel->mv0, *mv_me1 = sel->mv1;
+    int var_extra_sel = sel->extra;
     int in_y, in_u, in_v;
     double ssd_i = xt_tq_channels(f, x, y, lg,
                                   wk->ib_py, wk->ib_pu, wk->ib_pv,
                                   wk->in_ly, wk->in_lu, wk->in_lv,
                                   &in_y, &in_u, &in_v,
                                   wk->in_ry, wk->in_ru, wk->in_rv);
-    int64_t bins_inter = 2 + var_extra[best_var] + 3
+    int64_t bins_inter = 2 + var_extra_sel + 3
         + xt_coef_bins(wk->in_ly, s * s, in_y)
         + xt_coef_bins(wk->in_lu, sc * sc, in_u)
         + xt_coef_bins(wk->in_lv, sc * sc, in_v);
@@ -1630,12 +1725,13 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
             }
         }
         if (pred_dir == 0 || pred_dir == 2) {
-            /* refi: single ref per list -> no bins (enc/syntax.py:93) */
+            xt_write_refi(f->sbac, f->ctx, sel->r0, f->n_ref0);
             xt_write_mvp_idx(f->sbac, f->ctx, idx0);
             xt_write_mvd(f->sbac, f->ctx,
                          mv_me0[0] - mvp[idx0][0], mv_me0[1] - mvp[idx0][1]);
         }
         if (is_b && (pred_dir == 1 || pred_dir == 2)) {
+            xt_write_refi(f->sbac, f->ctx, sel->r1, f->n_ref1);
             xt_write_mvp_idx(f->sbac, f->ctx, idx1);
             xt_write_mvd(f->sbac, f->ctx,
                          mv_me1[0] - mvp1[idx1][0], mv_me1[1] - mvp1[idx1][1]);
@@ -1645,10 +1741,11 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         if (in_y) XT_COEF(wk->in_ly, lg, 0);
         if (in_u) XT_COEF(wk->in_lu, lg - 1, 1);
         if (in_v) XT_COEF(wk->in_lv, lg - 1, 1);
-        xt_store_cu_pb(f, x, y, lg, wk->in_ry, wk->in_ru, wk->in_rv,
+        xt_store_cu_pb_r(f, x, y, lg, wk->in_ry, wk->in_ru, wk->in_rv,
                        in_y, 0, 0,
                        (pred_dir == 0 || pred_dir == 2) ? mv_me0 : NULL,
-                       (is_b && (pred_dir == 1 || pred_dir == 2)) ? mv_me1 : NULL);
+                       (is_b && (pred_dir == 1 || pred_dir == 2)) ? mv_me1 : NULL,
+                       sel->r0 < 0 ? 0 : sel->r0, sel->r1 < 0 ? 0 : sel->r1);
     } else {                    /* intra */
         xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
         xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 1);
@@ -2864,11 +2961,15 @@ XT_API int xt_encode_frame(
     const XtFrameCfg *cfg,
     int32_t slice_type, int32_t poc, int32_t pad_l,
     const int16_t *orig_y, const int16_t *orig_u, const int16_t *orig_v,
-    const XtRefPic *ref0, const XtRefPic *ref1,
+    const XtRefPic *refs0, int32_t n_ref0,  /* L0 list (array), active count */
+    const XtRefPic *refs1, int32_t n_ref1,  /* L1 list */
     const uint8_t *const *split_maps,   /* [7]: lg 2..6 used */
     const uint8_t *const *mode_maps,
     const int32_t *const *mv_maps,      /* [7] or NULL (I slices) */
     const int32_t *const *mv1_maps,     /* [7] or NULL */
+    const int32_t *const *mv0b_maps,    /* L0 refi=1 planes or NULL */
+    const int32_t *const *mv1b_maps,    /* L1 refi=1 planes or NULL */
+    const int32_t *const *mvbi_maps,    /* bi-refined L1 planes or NULL */
     uint8_t *out_bs, int64_t out_cap,
     uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
     int32_t *out_map_mv,                /* (h_scu, w_scu, 2, 2) */
@@ -2900,12 +3001,17 @@ XT_API int xt_encode_frame(
     f.slice_type = slice_type;
     f.poc = poc;
     f.pad_l = pad_l;
-    f.ref0 = ref0;
-    f.ref1 = ref1;
+    f.refs0 = refs0; f.n_ref0 = (refs0 != NULL) ? (int)n_ref0 : 0;
+    f.refs1 = refs1; f.n_ref1 = (refs1 != NULL) ? (int)n_ref1 : 0;
+    f.ref0 = f.n_ref0 > 0 ? &refs0[0] : NULL;
+    f.ref1 = f.n_ref1 > 0 ? &refs1[0] : NULL;
     f.split_maps = split_maps;
     f.mode_maps = mode_maps;
     f.mv_maps = mv_maps;
     f.mv1_maps = mv1_maps;
+    f.mv0b_maps = mv0b_maps;
+    f.mv1b_maps = mv1b_maps;
+    f.mvbi_maps = mvbi_maps;
     f.map_mv = out_map_mv;
     f.map_refi = out_map_refi;
     memset(out_map_mv, 0, sizeof(int32_t) * n_scu * 4);

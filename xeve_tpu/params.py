@@ -31,6 +31,8 @@ class EncoderParams:
     tune: str = ""               # "" | zerolatency | psnr
     search_range: int = -1       # -1: preset default, scaled by width
     min_cu_log2: int = -1        # -1: preset default (2 = allow 4x4 CUs)
+    ref_pics: int = -1           # active refs per list; -1: preset default
+                                 # (reference me_ref_num, xeve_enc.c:2444)
     tile_columns: int = 1
     tile_rows: int = 1
     rc_type: str = "cq"          # cq | abr | crf
@@ -80,20 +82,23 @@ class EncoderParams:
     # are OUR knobs — the TPU analysis evaluates all modes regardless, so
     # presets mainly trade ME window and minimum CU size.
     _PRESETS = {
-        #            search_scale  min_cu_log2
-        "fast":     (8,            3),
-        "medium":   (16,           2),
-        "slow":     (24,           2),
-        "placebo":  (32,           2),
+        #            search_scale  min_cu_log2  ref_pics
+        "fast":     (8,            3,           1),
+        "medium":   (16,           2,           1),
+        "slow":     (24,           2,           1),
+        "placebo":  (32,           2,           2),
     }
 
     def _apply_preset_tune(self):
         assert self.preset in self._PRESETS, f"unknown preset {self.preset}"
-        sr, mincu = self._PRESETS[self.preset]
+        sr, mincu, nref = self._PRESETS[self.preset]
         if self.search_range < 0:
             self.search_range = min(sr, max(8, self.w // 24))
         if self.min_cu_log2 < 0:
             self.min_cu_log2 = mincu
+        if self.ref_pics < 0:
+            self.ref_pics = nref
+        assert 1 <= self.ref_pics <= 2, "ref_pics supports 1 or 2 active refs"
         if self.tune == "zerolatency":
             # no reordering, no B frames (xeve tune zerolatency semantics)
             self.bframes = 0

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--tile-columns", type=int, default=1)
     ap.add_argument("--tile-rows", type=int, default=1)
     ap.add_argument("-m", "--threads", type=int, default=1)
+    ap.add_argument("--ref", type=int, default=-1, dest="ref_pics",
+                    help="active reference pictures per list (1-2; "
+                         "-1 = preset default)")
     ap.add_argument("--preset", default="medium",
                     choices=("fast", "medium", "slow", "placebo"))
     ap.add_argument("--tune", default="", choices=("", "zerolatency", "psnr"))
@@ -73,7 +76,7 @@ def main():
         profile=1 if args.profile == "main" else 0,
         preset=args.preset, tune=args.tune,
         tile_columns=args.tile_columns, tile_rows=args.tile_rows,
-        threads=args.threads,
+        threads=args.threads, ref_pics=args.ref_pics,
         rc_type=args.rc if args.rc != "cqp" else "cq",
         bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
