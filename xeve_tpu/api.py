@@ -22,6 +22,23 @@ from .ops import picman_np
 
 CABAC_ZERO_PARAM = 32
 
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Stat:
+    """Per-AU encode statistics (XEVE_STAT analog, inc/xeve.h:563-585,
+    filled like xeve_enc.c:1296-1310)."""
+    bytes: int = 0
+    nalu_type: int = 0
+    slice_type: int = 0
+    qp: int = 0
+    poc: int = 0
+    tid: int = 0
+    ref_pocs_l0: list = field(default_factory=list)
+    ref_pocs_l1: list = field(default_factory=list)
+
 # engine selection:
 #   analysis: "device" (fused single-dispatch TPU analyzer, ME against
 #             device-resident originals) | "jax" (TPU batched, ME against
@@ -40,6 +57,9 @@ class Encoder:
         self.pps = self._make_pps()
         self.analysis_engine = analysis
         self.coder_engine = coder
+        if self.p.aq_mode and coder != "native":
+            raise ValueError("aq_mode (cu_qp_delta coding) requires the "
+                             "native coding pass")
         if me_engine is None and analysis == "jax":
             me_engine = "jax"     # whole inter analysis runs on device
         if me_engine in ("jax", "pallas"):
@@ -52,6 +72,8 @@ class Encoder:
         self.poc = 0
         self.last_intra_poc = -(10 ** 9)   # list constraint (decoder parity)
         self._poc_state = picman_np.PocState()  # decoder-derivation mirror
+        self.last_stat: Stat | None = None      # per-AU stats (XEVE_STAT)
+        self._last_rec = None
         self._gop_in = []      # pending display-order frames (RA reordering)
         self._gop_base = 0
         self._first_done = False
@@ -93,6 +115,12 @@ class Encoder:
 
     def _make_pps(self) -> PPS:
         p = self.p
+        # AQ -> cu_qp_delta signalling (xeve_enc.c:1454); area 6 baseline
+        # (observed reference default) / 10 main (xevem.c:1159)
+        dqp_kw = {}
+        if p.aq_mode:
+            dqp_kw = dict(cu_qp_delta_enabled_flag=1,
+                          cu_qp_delta_area=10 if p.profile == 1 else 6)
         n = p.tile_columns * p.tile_rows
         if n > 1:
             id_len_m1 = 0
@@ -104,8 +132,8 @@ class Encoder:
                        uniform_tile_spacing_flag=1,
                        loop_filter_across_tiles_enabled_flag=0,
                        tile_offset_lens_minus1=31,
-                       tile_id_len_minus1=id_len_m1)
-        return PPS()
+                       tile_id_len_minus1=id_len_m1, **dqp_kw)
+        return PPS(**dqp_kw)
 
     def _n_tiles(self):
         return self.p.tile_columns * self.p.tile_rows
@@ -158,12 +186,20 @@ class Encoder:
             return SLICE_I
         return SLICE_P
 
-    def _rc_qp(self, slice_type: int, depth: int, y) -> int | None:
+    def _rc_qp(self, slice_type: int, depth: int, y,
+               cpx: float | None = None) -> int | None:
+        """Frame qp from the rate model.  cpx: complexity from the fused
+        device analysis (AnalysisResult.rc_cost) when it is already
+        available (dispatch-ahead paths); host Hadamard proxy otherwise.
+        The adaptive-k model is scale-invariant so the two sources can
+        coexist across slice types."""
         if self.rc is None:
             return None
-        from .enc.rc import frame_complexity
-        cpx = frame_complexity(np.asarray(y),
-                               self._prev_orig_y if slice_type != SLICE_I else None)
+        if cpx is None:
+            from .enc.rc import frame_complexity
+            cpx = frame_complexity(
+                np.asarray(y),
+                self._prev_orig_y if slice_type != SLICE_I else None)
         self._rc_cpx = cpx
         return self.rc.pick_qp(slice_type, depth, cpx)
 
@@ -171,6 +207,68 @@ class Encoder:
         self._last_qp = qp
         if self.rc is not None:
             self.rc.update(slice_type, qp, nbytes * 8, self._rc_cpx)
+
+    def _fill_stat(self, nbytes, nut, slice_type, qp, poc, tid,
+                   refp=None, refp1=None, rec=None):
+        """Per-AU stat record (xeve_enc.c:1296-1310 analog)."""
+        self.last_stat = Stat(
+            bytes=nbytes, nalu_type=nut, slice_type=slice_type, qp=qp,
+            poc=poc, tid=tid,
+            ref_pocs_l0=[r["poc"] for r in (refp or [])],
+            ref_pocs_l1=[r["poc"] for r in (refp1 or [])])
+        self._last_rec = rec
+
+    # ------------------------------------------------------------------
+    # runtime config surface (xeve_config analog, xeve.c:148-314)
+    def config_set(self, key: str, value):
+        if key == "qp":
+            self.p.qp = int(value)
+        elif key == "use_deblock":
+            self.p.use_deblock = bool(value)
+        elif key == "use_pic_sign":
+            self.p.use_pic_sign = bool(value)
+        elif key == "bitrate_kbps":
+            self.p.bitrate_kbps = float(value)
+            if self.rc is not None:
+                self.rc.bitrate = float(value) * 1000.0
+                self.rc.bpf = self.rc.bitrate / self.rc.fps
+        elif key == "search_range":
+            self.p.search_range = int(value)
+        else:
+            raise KeyError(f"unknown config key {key}")
+
+    def config_get(self, key: str):
+        if key == "qp":
+            return self.p.qp
+        if key == "width":
+            return self.p.w
+        if key == "height":
+            return self.p.h
+        if key == "bitrate_kbps":
+            return self.p.bitrate_kbps
+        if key == "recon":
+            return self._last_rec
+        if key == "stat":
+            return self.last_stat
+        if key == "use_deblock":
+            return self.p.use_deblock
+        if key == "use_pic_sign":
+            return self.p.use_pic_sign
+        raise KeyError(f"unknown config key {key}")
+
+    def _aq_map(self, y, u, v, extra_mv_fields=None):
+        """Per-SCU AQ qp-offset map (None when AQ is off): variance model
+        of xeve_fcst.c:271, optionally sharpened by cutree-lite
+        propagation along dependent frames' MV fields."""
+        if not self.p.aq_mode:
+            return None
+        from .enc.aq import (aq_block_offsets, offsets_to_scu_map,
+                             cutree_propagate)
+        off = aq_block_offsets(np.asarray(y), np.asarray(u),
+                               np.asarray(v), self.p.codec_bit_depth)
+        if extra_mv_fields:
+            off = cutree_propagate(off, extra_mv_fields)
+        return offsets_to_scu_map(off, self.p.h_aligned, self.p.w_aligned)
 
     def _device(self):
         if self._dev is None:
@@ -224,7 +322,8 @@ class Encoder:
         if self.pic_cnt == 0 or (nut == NUT_IDR and self.pic_cnt > 0):
             out += self._headers()
 
-        qp = self._rc_qp(slice_type, 0, y)
+        qp = self._rc_qp(slice_type, 0, y,
+                         cpx=getattr(analysis_pre, "rc_cost", None))
         if qp is None:
             qp = self._slice_qp(slice_type)
         bd = p.codec_bit_depth
@@ -267,7 +366,10 @@ class Encoder:
                                           p.qp_cb_offset, p.qp_cr_offset,
                                           y, u, v, analysis,
                                           use_rdoq=p.rdoq,
-                                          use_deblock=p.use_deblock)
+                                          use_deblock=p.use_deblock,
+                                          aq_map=self._aq_map(y, u, v),
+                                          cu_qp_delta_area=self.pps.cu_qp_delta_area,
+                                          dquant_flag=self.sps.dquant_flag)
         else:
             sbac = SbacEncoder()
             ctx = SbacCtx()
@@ -288,6 +390,8 @@ class Encoder:
         self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, None)
         self.pic_cnt += 1
+        self._fill_stat(len(out), nut, SLICE_I, qp, self.poc - 1, 0,
+                        rec=(rec_y, rec_u, rec_v))
         return out, (rec_y, rec_u, rec_v)
 
     def _encode_frame_i_main(self, y, u, v, nut, out, qp, qp_y, qp_u, qp_v,
@@ -322,8 +426,13 @@ class Encoder:
                                           cm_init=p.tool_cm_init,
                                           tile_cols=p.tile_columns,
                                           tile_rows=p.tile_rows,
-                                          threads=p.threads)
+                                          threads=p.threads,
+                                          aq_map=self._aq_map(y, u, v),
+                                          cu_qp_delta_area=self.pps.cu_qp_delta_area,
+                                          dquant_flag=self.sps.dquant_flag)
         else:
+            assert not p.aq_mode, \
+                "AQ requires the native Main intra pass (tool_htdf off)"
             from .enc.main_intra_frame import MainIntraFramePass
             sbac = SbacEncoder()
             ctx = SbacCtx(SLICE_I, qp, p.tool_cm_init)
@@ -354,6 +463,8 @@ class Encoder:
         self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, None)
         self.pic_cnt += 1
+        self._fill_stat(len(out), nut, SLICE_I, qp, self.poc - 1, 0,
+                        rec=(rec_y, rec_u, rec_v))
         return out, (rec_y, rec_u, rec_v)
 
     def _dpb_push(self, rec_y, rec_u, rec_v, map_mv, poc=None, tid=0,
@@ -392,7 +503,8 @@ class Encoder:
     def _encode_frame_p(self, y, u, v, analysis_pre=None):
         p = self.p
         bd = p.codec_bit_depth
-        qp = self._rc_qp(SLICE_P, 2, y)
+        qp = self._rc_qp(SLICE_P, 2, y,
+                         cpx=getattr(analysis_pre, "rc_cost", None))
         if qp is None:
             qp = self._slice_qp(SLICE_P)
         qp_y, qp_u, qp_v = self._qp_triplet(qp)
@@ -416,7 +528,8 @@ class Encoder:
                                      qp_u, qp_v, bd,
                                      search_range=p.search_range)
         slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv, tile_lens = \
-            self._code_slice(SLICE_P, self.poc, qp, y, u, v, an, refp, None)
+            self._code_slice(SLICE_P, self.poc, qp, y, u, v, an, refp, None,
+                             aq_map=self._aq_map(y, u, v))
         sh = SliceHeader(slice_type=SLICE_P, qp=qp,
                          qp_u_offset=p.qp_cb_offset, qp_v_offset=p.qp_cr_offset,
                          deblocking_filter_on=1 if p.use_deblock else 0)
@@ -433,9 +546,12 @@ class Encoder:
         self._prev_orig_y = np.asarray(y)
         self._dpb_push(rec_y, rec_u, rec_v, map_mv)
         self.pic_cnt += 1
+        self._fill_stat(len(out), NUT_NONIDR, SLICE_P, qp, self.poc - 1, 0,
+                        refp=refp, rec=(rec_y, rec_u, rec_v))
         return out, (rec_y, rec_u, rec_v)
 
-    def _code_slice(self, slice_type, poc, qp, y, u, v, an, refp, refp1):
+    def _code_slice(self, slice_type, poc, qp, y, u, v, an, refp, refp1,
+                    aq_map=None):
         """Run the closed-loop slice coding pass (native C fast path or the
         numpy FramePass oracle).  Returns (payload, bin_count, rec_y, rec_u,
         rec_v, map_mv)."""
@@ -457,8 +573,12 @@ class Encoder:
                                     cm_init=p.tool_cm_init,
                                     tile_cols=p.tile_columns,
                                     tile_rows=p.tile_rows,
-                                    threads=p.threads)
+                                    threads=p.threads,
+                                    aq_map=aq_map,
+                                    cu_qp_delta_area=self.pps.cu_qp_delta_area,
+                                    dquant_flag=self.sps.dquant_flag)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
+        assert aq_map is None, "AQ/dqp requires the native coder"
         assert (refp is None or len(refp) <= 1) and \
                (refp1 is None or len(refp1) <= 1), \
             "multi-ref (ref_pics>1) requires the native coder"
@@ -537,7 +657,10 @@ class Encoder:
                                               p.qp_cb_offset, p.qp_cr_offset,
                                               y, u, v, an,
                                               use_rdoq=p.rdoq,
-                                              use_deblock=p.use_deblock)
+                                              use_deblock=p.use_deblock,
+                                              aq_map=self._aq_map(y, u, v),
+                                              cu_qp_delta_area=self.pps.cu_qp_delta_area,
+                                              dquant_flag=self.sps.dquant_flag)
                 payload = bw.get_bytes() + slice_payload
                 payload += self._cabac_zero_words(bin_count, len(payload))
                 bs += wrap_nal(payload)
@@ -822,13 +945,30 @@ class GopEncoder(Encoder):
             hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
                               ref_poc=ref0, ref1_poc=ref1,
                               ref0b_poc=ref0b, ref1b_poc=ref1b)
-            handles.append((poc, disp, tid, is_ref, hd))
+            handles.append((poc, disp, tid, is_ref, hd, ref0, ref1))
             picman_np.dpb_mark_and_insert(
                 shadow, {"poc": poc, "tid": tid, "ref": is_ref}, False)
-        for (poc, disp, tid, is_ref, hd) in handles:
-            an = dev.collect(hd)
+        # cutree-lite (aq_mode 2): collect the whole sub-GOP's analyses up
+        # front and hand each reference frame the MV fields of the frames
+        # predicting from it (xeve_fcst.c:629 blk_tree analog)
+        collected = {}
+        deps: dict[int, list] = {}
+        if self.p.aq_mode >= 2:
+            for (poc, disp, tid, is_ref, hd, r0, r1) in handles:
+                an = collected.setdefault(poc, dev.collect(hd))
+                if r0 is not None and getattr(an, "mv", None):
+                    deps.setdefault(r0, []).append(an.mv[4])
+                if r1 is not None and getattr(an, "mv1", None):
+                    deps.setdefault(r1, []).append(an.mv1[4])
+        for (poc, disp, tid, is_ref, hd, _r0, _r1) in handles:
+            an = collected.get(poc) or dev.collect(hd)
+            aq = None
+            if self.p.aq_mode >= 2:
+                y, u, v = self._gop_in[disp - base]
+                aq = self._aq_map(y, u, v, extra_mv_fields=deps.get(poc))
             bs, rec = self._encode_ra_frame(poc, tid, disp - base, is_ref,
-                                            SLICE_B, analysis_pre=an)
+                                            SLICE_B, analysis_pre=an,
+                                            aq_map=aq)
             yield bs, rec, disp
         self._gop_base = base + 16
         self._gop_in = self._gop_in[-1:]
@@ -964,7 +1104,7 @@ class GopEncoder(Encoder):
         return int(np.clip(qp, 0, 51))
 
     def _encode_ra_frame(self, poc, tid, disp_idx, is_ref, slice_type,
-                         analysis_pre=None):
+                         analysis_pre=None, aq_map=None):
         from .enc.analysis_np import analyze_frame as analyze_i
         p = self.p
         bd = p.codec_bit_depth
@@ -979,7 +1119,8 @@ class GopEncoder(Encoder):
             depth = 1
         else:
             depth = tid + 1
-        qp = self._rc_qp(slice_type, depth, y)
+        qp = self._rc_qp(slice_type, depth, y,
+                         cpx=getattr(analysis_pre, "rc_cost", None))
         if qp is None:
             qp = self._ra_qp(depth) if p.bframes >= 15 else self._slice_qp(slice_type)
         qp_y, qp_u, qp_v = self._qp_triplet(qp)
@@ -1036,8 +1177,11 @@ class GopEncoder(Encoder):
                 and getattr(an, "mv", None) is not None):
             an.mv1 = {lg: m for lg, m in an.mv.items()}
 
+        if aq_map is None:
+            aq_map = self._aq_map(y, u, v)
         slice_payload, bin_count, rec_y, rec_u, rec_v, map_mv, tile_lens = \
-            self._code_slice(slice_type, poc, qp, y, u, v, an, refp, refp1)
+            self._code_slice(slice_type, poc, qp, y, u, v, an, refp, refp1,
+                             aq_map=aq_map)
         sh = SliceHeader(slice_type=slice_type, qp=qp,
                          qp_u_offset=p.qp_cb_offset,
                          qp_v_offset=p.qp_cr_offset,
@@ -1057,4 +1201,6 @@ class GopEncoder(Encoder):
                        is_ref=is_ref, is_idr=(nut == NUT_IDR),
                        list0_poc=refp[0]["poc"] if refp else poc)
         self.pic_cnt += 1
+        self._fill_stat(len(out), nut, slice_type, qp, poc, tid,
+                        refp=refp, refp1=refp1, rec=(rec_y, rec_u, rec_v))
         return out, (rec_y, rec_u, rec_v)

@@ -44,6 +44,7 @@ class AnalysisResult:
     split: dict          # split[s][by][bx] True => split block of size 2^s
     leaf_cost: dict
     tree_cost: dict
+    rc_cost: float = None   # frame complexity scalar for rate control
 
 
 def _blocks(plane: np.ndarray, s: int) -> np.ndarray:

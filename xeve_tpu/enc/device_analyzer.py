@@ -240,6 +240,12 @@ def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
     for m in (mv16c, mv16c_0b, mv16c_1, mv16c_1b, mv16c_bi):
         if m is not None:
             parts.append(m.astype(jnp.int16).reshape(-1))
+    # RC complexity: total best-mode cost at the 16x16 level, packed as
+    # two int16 halves of a >>16-scaled int32 — the one scalar the
+    # frame-level rate model consumes (replaces the host Hadamard proxy)
+    rci = jnp.clip(leaf[4].sum() / 65536.0, 0, 2.0 ** 30).astype(jnp.int32)
+    parts.append(jnp.stack([(rci >> 15).astype(jnp.int16),
+                            (rci & 0x7fff).astype(jnp.int16)]))
     return jnp.concatenate(parts)
 
 
@@ -256,10 +262,13 @@ _fused_jit = jax.jit(_fused_impl,
 class _Handle:
     """kind: 'I' | 'P' | 'B' (legacy) — or pass `planes`, a 5-tuple of
     bools (L0r0, L0r1, L1r0, L1r1, bi-refined) saying which MV planes the
-    packed vector carries."""
-    __slots__ = ("vec", "kind", "h", "w", "min_log2", "max_log2", "planes")
+    packed vector carries.  `args` keeps the dispatch arguments for
+    failure recovery (re-dispatch / host fallback)."""
+    __slots__ = ("vec", "kind", "h", "w", "min_log2", "max_log2", "planes",
+                 "args")
 
-    def __init__(self, vec, kind, h, w, min_log2, max_log2, planes=None):
+    def __init__(self, vec, kind, h, w, min_log2, max_log2, planes=None,
+                 args=None):
         self.vec = vec
         self.kind = kind
         self.h, self.w = h, w
@@ -269,6 +278,7 @@ class _Handle:
                       "P": (True, False, False, False, False),
                       "B": (True, False, True, False, False)}[kind]
         self.planes = planes
+        self.args = args
 
 
 class DeviceAnalyzer:
@@ -286,18 +296,25 @@ class DeviceAnalyzer:
         self.R = int(search_range)
         self.min_log2, self.max_log2 = min_log2, max_log2
         self.ring: dict[int, tuple] = {}
+        self.host_ring: dict[int, tuple] = {}
         self.ring_size = ring_size
+        self.failures = 0          # recovered device failures (telemetry)
 
     # -- frame ring ------------------------------------------------------
     def put_frame(self, poc: int, y, u, v):
         """Upload one original frame (async).  Arrays must be the aligned
-        coded size."""
-        self.ring[poc] = (jnp.asarray(np.asarray(y, np.int16)),
-                          jnp.asarray(np.asarray(u, np.int16)),
-                          jnp.asarray(np.asarray(v, np.int16)))
+        coded size.  A host-side copy is kept for failure recovery
+        (SURVEY.md §5.3: the device can die mid-encode; analysis falls
+        back to the numpy oracle from host originals)."""
+        hy = np.asarray(y, np.int16)
+        hu = np.asarray(u, np.int16)
+        hv = np.asarray(v, np.int16)
+        self.host_ring[poc] = (hy, hu, hv)
+        self.ring[poc] = (jnp.asarray(hy), jnp.asarray(hu), jnp.asarray(hv))
         if len(self.ring) > self.ring_size:
             for k in sorted(self.ring)[:len(self.ring) - self.ring_size]:
                 del self.ring[k]
+                self.host_ring.pop(k, None)
 
     def has_frame(self, poc: int) -> bool:
         return poc in self.ring
@@ -335,12 +352,71 @@ class DeviceAnalyzer:
         planes = (ref0 is not None, ref0b is not None, ref1 is not None,
                   ref1b is not None, refine)
         return _Handle(vec, kind, self.h, self.w, self.min_log2,
-                       self.max_log2, planes=planes)
+                       self.max_log2, planes=planes,
+                       args=(poc, qp, qp_y, qp_u, qp_v, ref_poc, ref1_poc,
+                             ref0b_poc, ref1b_poc, bi_refine))
+
+    # -- failure recovery (SURVEY.md §5.3) -------------------------------
+    def _redispatch(self, hd: _Handle) -> _Handle:
+        """Re-upload the involved originals from the host ring and re-run
+        the dispatch (device restart / preemption recovery)."""
+        poc, _, _, _, _, r0, r1, r0b, r1b, _ = hd.args
+        for q in (poc, r0, r1, r0b, r1b):
+            if q is not None and q in self.host_ring:
+                y, u, v = self.host_ring[q]
+                self.ring[q] = (jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(v))
+        return self.dispatch(*hd.args)
+
+    def _host_fallback(self, hd: _Handle):
+        """Device unrecoverable: compute this frame's analysis with the
+        numpy oracle from the host-side original ring so the encode
+        continues CPU-only."""
+        from .analysis_np import analyze_frame
+        from .analysis_inter_np import analyze_frame_inter
+        from ..ops import mc_np
+        poc, qp, qp_y, qp_u, qp_v, r0, r1, r0b, r1b, _ = hd.args
+        y, u, v = [np.asarray(p, np.int32) for p in self.host_ring[poc]]
+        if r0 is None:
+            return analyze_frame(y, u, v, qp, qp_y, qp_u, qp_v, self.bd,
+                                 min_log2=self.min_log2)
+
+        def ref(q):
+            ry, ru, rv = self.host_ring[q]
+            return {"poc": q,
+                    "y_pad": mc_np.pad_picture(np.asarray(ry, np.int32),
+                                               PAD),
+                    "u_pad": mc_np.pad_picture(np.asarray(ru, np.int32),
+                                               PAD // 2),
+                    "v_pad": mc_np.pad_picture(np.asarray(rv, np.int32),
+                                               PAD // 2)}
+        refp = [ref(r0)] + ([ref(r0b)] if r0b is not None else [])
+        refp1 = None
+        if r1 is not None and r1 != r0:
+            refp1 = [ref(r1)] + ([ref(r1b)] if r1b is not None else [])
+        return analyze_frame_inter(y, u, v, refp, qp, qp_y, qp_u, qp_v,
+                                   self.bd, search_range=self.R,
+                                   refp1=refp1, min_log2=self.min_log2)
 
     def collect(self, hd: _Handle):
         """Block on the packed transfer; build the decision maps the coding
-        pass consumes (split/mode per level, per-level MV maps)."""
-        vec = np.asarray(hd.vec)
+        pass consumes (split/mode per level, per-level MV maps).  On a
+        device failure: one re-dispatch, then the numpy-oracle fallback —
+        the encode never dies with the device."""
+        try:
+            vec = np.asarray(hd.vec)
+        except Exception:
+            self.failures += 1
+            if hd.args is None:
+                raise
+            try:
+                hd = self._redispatch(hd)
+                vec = np.asarray(hd.vec)
+            except Exception:
+                return self._host_fallback(hd)
+        return self._parse(hd, vec)
+
+    def _parse(self, hd: _Handle, vec):
         h, w = hd.h, hd.w
         mode, split = {}, {}
         off = 0
@@ -353,8 +429,11 @@ class DeviceAnalyzer:
             split[lg] = vec[off:off + n].reshape(nby, nbx).astype(bool)
             off += n
         if hd.kind == "I":
+            rc = None
+            if off + 2 <= len(vec):
+                rc = float((int(vec[off]) << 15) | int(vec[off + 1])) * 65536.0
             return AnalysisResult(mode=mode, split=split, leaf_cost=None,
-                                  tree_cost=None)
+                                  tree_cost=None, rc_cost=rc)
         nby16c, nbx16c = _ceil_div(h, 16), _ceil_div(w, 16)
         n16 = nby16c * nbx16c * 2
 
@@ -375,8 +454,16 @@ class DeviceAnalyzer:
         mv1 = next_plane() if has1 else None
         mv1b = next_plane() if has1b else None
         mvbi = next_plane() if hasbi else None
+
+        def rc_cost():
+            if off + 2 > len(vec):     # older packed vecs (meshed twin)
+                return None
+            hi, lo = int(vec[off]), int(vec[off + 1])
+            return float((hi << 15) | lo) * 65536.0
+
         if hd.kind == "B" and mv1 is None:
             mv1 = {lg: mv[lg] for lg in mv}
         return InterAnalysisResult(mode=mode, split=split, leaf_cost=None,
                                    tree_cost=None, mv=mv, mv1=mv1,
-                                   mv0b=mv0b, mv1b=mv1b, mvbi=mvbi)
+                                   mv0b=mv0b, mv1b=mv1b, mvbi=mvbi,
+                                   rc_cost=rc_cost())

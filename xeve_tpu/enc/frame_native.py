@@ -43,14 +43,18 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
                         refp=None, refp1=None, pad_l=80,
                         use_rdoq=True, use_deblock=True,
                         main_eipd=0, tool_iqt=0, cm_init=0,
-                        tile_cols=1, tile_rows=1, threads=1):
+                        tile_cols=1, tile_rows=1, threads=1,
+                        aq_map=None, cu_qp_delta_area=6, dquant_flag=0):
     """Code one slice natively.  Returns (payload_bytes, bin_count,
-    rec_y, rec_u, rec_v, map_mv, map_refi, tile_lens)."""
+    rec_y, rec_u, rec_v, map_mv, map_refi, tile_lens).  aq_map: per-SCU
+    int8 qp offsets; enables cu_qp_delta coding."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
                      1 if use_rdoq else 0, 1 if use_deblock else 0,
                      main_eipd, tool_iqt, cm_init, tile_cols, tile_rows,
-                     threads)
+                     threads,
+                     1 if aq_map is not None else 0, cu_qp_delta_area,
+                     dquant_flag)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -112,6 +116,13 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
     refs0, n0 = _ref_list(refp)
     refs1, n1 = _ref_list(refp1)
 
+    if aq_map is not None:
+        aq_arr = np.ascontiguousarray(aq_map, dtype=np.int8)
+        keep.append(aq_arr)
+        aq_ptr = aq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        aq_ptr = None
+
     ret = lib.xt_encode_frame(
         ctypes.byref(cfg),
         ctypes.c_int32(slice_type), ctypes.c_int32(poc),
@@ -124,6 +135,7 @@ def encode_frame_native(w, h, bd, qp, qp_u_off, qp_v_off, slice_type, poc,
         split_tbl, mode_tbl,
         mv_tbl, mv1_tbl,
         mv0b_tbl, mv1b_tbl, mvbi_tbl,
+        aq_ptr,
         out.ctypes.data_as(_u8p), ctypes.c_int64(cap),
         rec_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         rec_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

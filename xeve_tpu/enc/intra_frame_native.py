@@ -18,15 +18,20 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
                               analysis: AnalysisResult,
                               use_rdoq=True, use_deblock=True,
                               main_eipd=0, tool_iqt=0, cm_init=0,
-                              tile_cols=1, tile_rows=1, threads=1):
+                              tile_cols=1, tile_rows=1, threads=1,
+                              aq_map=None, cu_qp_delta_area=6,
+                              dquant_flag=0):
     """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v,
     tile_lens).  With main_eipd the Main-profile stage-1 pass runs
-    (EIPD/IQT/CM_INIT/ADCC; mirrors enc/main_intra_frame.py)."""
+    (EIPD/IQT/CM_INIT/ADCC; mirrors enc/main_intra_frame.py).  aq_map:
+    per-SCU int8 qp offsets; enables cu_qp_delta coding."""
     lib = get_lib()
     cfg = XtFrameCfg(w, h, bd, qp, qp_u_off, qp_v_off,
                      1 if use_rdoq else 0, 1 if use_deblock else 0,
                      main_eipd, tool_iqt, cm_init, tile_cols, tile_rows,
-                     threads)
+                     threads,
+                     1 if aq_map is not None else 0, cu_qp_delta_area,
+                     dquant_flag)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)
@@ -59,6 +64,12 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
         keep.append(a)
         mode_ptrs.append(p)
 
+    if aq_map is not None:
+        aq_arr = np.ascontiguousarray(aq_map, dtype=np.int8)
+        keep.append(aq_arr)
+        aq_ptr = aq_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        aq_ptr = None
     fn = lib.xt_encode_main_intra_frame if main_eipd \
         else lib.xt_encode_intra_frame
     ret = fn(
@@ -67,6 +78,7 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
         ou.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         ov.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         *split_ptrs, *mode_ptrs,
+        aq_ptr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(cap),
         rec_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -21,7 +21,10 @@ class XtFrameCfg(ctypes.Structure):
                 ("main_eipd", ctypes.c_int32), ("tool_iqt", ctypes.c_int32),
                 ("cm_init", ctypes.c_int32),
                 ("tile_cols", ctypes.c_int32), ("tile_rows", ctypes.c_int32),
-                ("threads", ctypes.c_int32)]
+                ("threads", ctypes.c_int32),
+                ("cu_qp_delta", ctypes.c_int32),
+                ("cu_qp_delta_area", ctypes.c_int32),
+                ("dquant_flag", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):
@@ -73,11 +76,13 @@ def get_lib():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i16p = ctypes.POINTER(ctypes.c_int16)
     u16p = ctypes.POINTER(ctypes.c_uint16)
+    i8p = ctypes.POINTER(ctypes.c_int8)
     lib.xt_encode_intra_frame.restype = ctypes.c_int
     lib.xt_encode_intra_frame.argtypes = [
         ctypes.POINTER(XtFrameCfg), i16p, i16p, i16p,
         u8p, u8p, u8p, u8p, u8p,      # split maps 2..6
         u8p, u8p, u8p, u8p, u8p,      # mode maps 2..6
+        i8p,                          # per-SCU AQ offsets or NULL
         u8p, ctypes.c_int64,
         u16p, u16p, u16p,
         ctypes.POINTER(XtStats),
@@ -97,6 +102,7 @@ def get_lib():
         ctypes.POINTER(i32p), ctypes.POINTER(i32p),       # mv/mv1 map tables
         ctypes.POINTER(i32p), ctypes.POINTER(i32p),       # mv0b/mv1b (refi=1)
         ctypes.POINTER(i32p),                             # mvbi (bi-refined L1)
+        ctypes.POINTER(ctypes.c_int8),                    # per-SCU AQ offsets
         u8p, ctypes.c_int64,
         u16p, u16p, u16p,
         i32p, ctypes.POINTER(ctypes.c_int8),

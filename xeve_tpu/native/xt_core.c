@@ -564,6 +564,9 @@ typedef struct {
     int32_t main_eipd, tool_iqt, cm_init;   /* Main-profile stage 1 */
     int32_t tile_cols, tile_rows;           /* 0/1 = single tile */
     int32_t threads;                        /* tile-parallel workers */
+    int32_t cu_qp_delta;                    /* PPS cu_qp_delta_enabled */
+    int32_t cu_qp_delta_area;               /* PPS area (log2w+log2h) */
+    int32_t dquant_flag;                    /* SPS dquant (group mode) */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -608,6 +611,13 @@ typedef struct {
     int8_t *map_refi;               /* out: (h_scu,w_scu,2) */
     double w_u, w_v;                /* chroma distortion weights */
     int32_t *scratch;               /* per-frame CU work buffers */
+    /* adaptive quantization / cu_qp_delta state (xeve_fcst.c:271 AQ,
+     * xeve_eco.c:896 dqp; per-tile entropy state via the by-value tile
+     * job copy, mirroring dec/decoder.py:277) */
+    const int8_t *aq_map;           /* per-SCU qp offsets or NULL */
+    uint8_t *map_qp;                /* shared per-SCU effective qp or NULL */
+    int qp_prev_eco, dqp_is_coded;
+    int cur_qp, eff_qp;
 } XtFrame;
 
 static int xt_chroma_qp(int qp, int iqt)
@@ -615,6 +625,76 @@ static int xt_chroma_qp(int qp, int iqt)
     if (qp < 0) return 0;
     if (qp > 57) qp = 57;
     return iqt ? XT_QP_CHROMA_MAIN[qp] : XT_QP_CHROMA[qp];
+}
+
+/* per-CU qp -> luma/chroma qp + lambdas (set_lambda, xeve_mode.c:660) */
+static void xt_set_cu_qp(XtFrame *f, int qp)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int bd = cfg->bd;
+    f->cur_qp = qp;
+    f->qp_y = qp + 6 * (bd - 8);
+    int qpu_i = qp + cfg->qp_u_off;
+    int qpv_i = qp + cfg->qp_v_off;
+    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
+    if (qpu_i > 57) qpu_i = 57;
+    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
+    if (qpv_i > 57) qpv_i = 57;
+    f->qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f->qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
+    f->lam = 0.57 * pow(2.0, (qp - 12) / 3.0);
+    f->w_u = pow(2.0, (f->qp_y - f->qp_u) / 3.0);
+    f->w_v = pow(2.0, (f->qp_y - f->qp_v) / 3.0);
+    f->lam_u = f->lam / f->w_u;
+    f->lam_v = f->lam / f->w_v;
+}
+
+/* AQ qp of a CU/region: slice qp + truncating-average of the per-SCU
+ * offsets over the span (get_averaged_qp, xeve_mode.c:634) */
+static int xt_leaf_qp(const XtFrame *f, int x, int y, int lg)
+{
+    if (!f->aq_map) return f->cfg->qp;
+    int xs = x >> 2, ys = y >> 2, n = 1 << (lg - 2);
+    int sum = 0, cnt = 0;
+    for (int i = ys; i < ys + n && i < f->h_scu; i++)
+        for (int j = xs; j < xs + n && j < f->w_scu; j++) {
+            sum += f->aq_map[i * f->w_scu + j];
+            cnt++;
+        }
+    int dqp = cnt ? sum / cnt : 0;   /* C truncation, as the reference */
+    int q = f->cfg->qp + dqp;
+    if (q < 1) q = 1;
+    if (q > 51) q = 51;
+    return q;
+}
+
+/* conditional dqp write after the cbf flags (xeve_eco.c:995 placement,
+ * dec/decoder.py:628 inverse).  Sets f->eff_qp = the qp a decoder will
+ * record for this CU (signaled qp once coded, predictor otherwise). */
+static void xt_write_dqp_cond(XtFrame *f, int skip, int cbf_all_zero_inter,
+                              int cbf_any, int dqp_code)
+{
+    f->eff_qp = f->qp_prev_eco;
+    if (!f->cfg->cu_qp_delta || skip || cbf_all_zero_inter) return;
+    int write = 0;
+    if ((((!f->cfg->dquant_flag) ||
+          (dqp_code == 1 && !f->dqp_is_coded)) && cbf_any) ||
+        (dqp_code == 2 && !f->dqp_is_coded))
+        write = 1;
+    if (!write) return;
+    int d = f->cur_qp - f->qp_prev_eco;
+    int a = d < 0 ? -d : d;
+    /* unary_sym with the single delta_qp context (sbac.py:221) */
+    xt_encode_bin(f->sbac, f->ctx->delta_qp, a ? 1 : 0);
+    int t = a;
+    while (t) {
+        t--;
+        xt_encode_bin(f->sbac, f->ctx->delta_qp, t ? 1 : 0);
+    }
+    if (a) xt_encode_bin_ep(f->sbac, d < 0 ? 1 : 0);
+    f->qp_prev_eco = f->cur_qp;
+    f->dqp_is_coded = 1;
+    f->eff_qp = f->cur_qp;
 }
 
 /* gather neighbours: unit=4 luma / 2 chroma, per-SCU availability */
@@ -679,7 +759,7 @@ static void xt_write_coef_block(XtSbac *s, XtCtx *c, const int32_t *lev,
     }
 }
 
-static void xt_code_cu(XtFrame *f, int x, int y, int lg)
+static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
 {
     const XtFrameCfg *cfg = f->cfg;
     int n = 1 << lg;
@@ -789,6 +869,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
         xt_encode_bin(f->sbac, f->ctx->cbf_cb, nnz_u ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, nnz_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz_y ? 1 : 0);
+        xt_write_dqp_cond(f, 0, 0, (nnz_y || nnz_u || nnz_v), dqp_code);
         if (nnz_y) xt_write_coef_block(f->sbac, f->ctx, lev_y, lg, 0);
         if (nnz_u) xt_write_coef_block(f->sbac, f->ctx, lev_u, lg - 1, 1);
         if (nnz_v) xt_write_coef_block(f->sbac, f->ctx, lev_v, lg - 1, 1);
@@ -804,6 +885,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
                 f->map_if[idx] = 1;
                 f->map_ipm[idx] = (int8_t)ipm;
                 f->map_cbf[idx] = nnz_y ? 1 : 0;
+                if (f->map_qp) f->map_qp[idx] = (uint8_t)f->eff_qp;
             }
         f->leaf_x[f->n_leaf] = x;
         f->leaf_y[f->n_leaf] = y;
@@ -812,8 +894,8 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg)
     }
 }
 
-static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg);
-static void xt_code_cu_main(XtFrame *f, int x, int y, int lg);
+static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code);
+static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code);
 /* Main-profile helpers (defined in the Main section below) */
 static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd);
 static void xt_nbr_main(const uint16_t *plane, int stride,
@@ -833,7 +915,8 @@ static void xt_adcc_write(XtSbac *s, XtCtx *c, const int32_t *lev,
                           int lg_w, int lg_h, int ch_type,
                           const uint16_t *scan);
 
-static void xt_code_tree(XtFrame *f, int x, int y, int lg)
+static void xt_code_tree(XtFrame *f, int x, int y, int lg, int dqp_code,
+                         int region_qp)
 {
     const XtFrameCfg *cfg = f->cfg;
     int n = 1 << lg;
@@ -847,19 +930,37 @@ static void xt_code_tree(XtFrame *f, int x, int y, int lg)
     }
     if (n >= 8)
         xt_encode_bin(f->sbac, f->ctx->split_cu_flag, split);
+    /* quantization-group state machine (dec/decoder.py:365-376 inverse;
+     * xeve_mode.c:727 get_min_max_qp): the group's qp is the averaged AQ
+     * qp over the group-root span */
+    if (cfg->cu_qp_delta && cfg->dquant_flag) {
+        int sum2 = lg + lg, area = cfg->cu_qp_delta_area;
+        if (!split && sum2 >= area && dqp_code != 2) {
+            dqp_code = (lg == 7) ? 2 : 1;
+            f->dqp_is_coded = 0;
+            region_qp = xt_leaf_qp(f, x, y, lg);
+        } else if (split && sum2 == area && dqp_code != 2) {
+            dqp_code = 2;
+            f->dqp_is_coded = 0;
+            region_qp = xt_leaf_qp(f, x, y, lg);
+        }
+    }
     if (split) {
         int half = n >> 1;
         static const int dx[4] = {0, 1, 0, 1}, dy[4] = {0, 0, 1, 1};
         for (int p = 0; p < 4; p++) {
             int xp = x + dx[p] * half, yp = y + dy[p] * half;
             if (xp < cfg->w && yp < cfg->h)
-                xt_code_tree(f, xp, yp, lg - 1);
+                xt_code_tree(f, xp, yp, lg - 1, dqp_code, region_qp);
         }
     } else {
+        if (cfg->cu_qp_delta)
+            xt_set_cu_qp(f, region_qp > 0 ? region_qp
+                                          : xt_leaf_qp(f, x, y, lg));
         if (f->slice_type == 2 || !f->ref0) {
-            if (cfg->main_eipd) xt_code_cu_main(f, x, y, lg);
-            else                xt_code_cu(f, x, y, lg);
-        } else xt_code_cu_pb(f, x, y, lg);
+            if (cfg->main_eipd) xt_code_cu_main(f, x, y, lg, dqp_code);
+            else                xt_code_cu(f, x, y, lg, dqp_code);
+        } else xt_code_cu_pb(f, x, y, lg, dqp_code);
     }
 }
 
@@ -1394,6 +1495,7 @@ static void xt_store_cu_pb_r(XtFrame *f, int x, int y, int lg,
             f->map_ipm[idx] = (int8_t)(is_intra ? ipm : 0);
             f->map_cbf[idx] = nnz_y ? 1 : 0;
             if (f->map_skip) f->map_skip[idx] = is_skip ? 1 : 0;
+            if (f->map_qp) f->map_qp[idx] = (uint8_t)f->eff_qp;
             if (!is_intra) {
                 f->map_refi[idx * 2 + 0] = mv0 ? (int8_t)refi0 : -1;
                 f->map_refi[idx * 2 + 1] = mv1 ? (int8_t)refi1 : -1;
@@ -1443,7 +1545,7 @@ static void xt_ctx_flags(const XtFrame *f, int x_scu, int y_scu,
 /* P/B-slice CU: decide among {skip, inter MVD, intra, [temporal direct]}
  * with closed-loop costs, then code syntax + reconstruction
  * (frame_pass.py _code_cu; xeve_pinter.c:1839 candidate structure) */
-static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
+static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
 {
     const XtFrameCfg *cfg = f->cfg;
     int s = 1 << lg, bd = cfg->bd, W = cfg->w;
@@ -1698,6 +1800,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 1);
         xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
         if (is_b) xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
+        xt_write_dqp_cond(f, 1, 0, 0, dqp_code);
         xt_store_cu_pb(f, x, y, lg, wk->skip_py, wk->skip_pu, wk->skip_pv,
                        0, 0, 0, skip_mv0, is_b ? skip_mv1 : NULL);
     } else if (winner == 3) {   /* temporal direct */
@@ -1706,6 +1809,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 1);
         xt_write_cbf_inter(f->sbac, f->ctx, dn_y ? 1 : 0, dn_u ? 1 : 0,
                            dn_v ? 1 : 0);
+        xt_write_dqp_cond(f, 0, !(dn_y || dn_u || dn_v),
+                          (dn_y || dn_u || dn_v), dqp_code);
         if (dn_y) XT_COEF(wk->dir_ly, lg, 0);
         if (dn_u) XT_COEF(wk->dir_lu, lg - 1, 1);
         if (dn_v) XT_COEF(wk->dir_lv, lg - 1, 1);
@@ -1738,6 +1843,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         }
         xt_write_cbf_inter(f->sbac, f->ctx, in_y ? 1 : 0, in_u ? 1 : 0,
                            in_v ? 1 : 0);
+        xt_write_dqp_cond(f, 0, !(in_y || in_u || in_v),
+                          (in_y || in_u || in_v), dqp_code);
         if (in_y) XT_COEF(wk->in_ly, lg, 0);
         if (in_u) XT_COEF(wk->in_lu, lg - 1, 1);
         if (in_v) XT_COEF(wk->in_lv, lg - 1, 1);
@@ -1768,6 +1875,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg)
         xt_encode_bin(f->sbac, f->ctx->cbf_cb, it_u ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, it_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, it_y ? 1 : 0);
+        xt_write_dqp_cond(f, 0, 0, (it_y || it_u || it_v), dqp_code);
         if (it_y) XT_COEF(wk->it_ly, lg, 0);
         if (it_u) XT_COEF(wk->it_lu, lg - 1, 1);
         if (it_v) XT_COEF(wk->it_lv, lg - 1, 1);
@@ -1880,15 +1988,16 @@ static void xt_deblock(XtFrame *f)
                     int scu = (yy >> 2) * f->w_scu + (x >> 2);
                     int scu_l = scu - 1;
                     int idx = xt_df_strength_idx(f, scu, scu_l);
-                    int st = (XT_DF_ST[idx * 52 + qp]) << bdc8;
+                    int eqp = f->map_qp ? f->map_qp[scu] : qp;
+                    int st = (XT_DF_ST[idx * 52 + eqp]) << bdc8;
                     if (st) {
                         for (int r = 0; r < 4; r++) {
                             uint16_t *row = f->ry + (yy + r) * W;
                             xt_df_luma_line(&row[x - 2], &row[x - 1], &row[x], &row[x + 1], st, bd);
                         }
                     }
-                    int qp_ui = qp + cfg->qp_u_off;
-                    int qp_vi = qp + cfg->qp_v_off;
+                    int qp_ui = eqp + cfg->qp_u_off;
+                    int qp_vi = eqp + cfg->qp_v_off;
                     if (qp_ui < -6 * bdc8) qp_ui = -6 * bdc8;
                     if (qp_ui > 57) qp_ui = 57;
                     if (qp_vi < -6 * bdc8) qp_vi = -6 * bdc8;
@@ -1918,7 +2027,8 @@ static void xt_deblock(XtFrame *f)
                     int scu = (y >> 2) * f->w_scu + (xx >> 2);
                     int scu_u = scu - f->w_scu;
                     int idx = xt_df_strength_idx(f, scu, scu_u);
-                    int st = (XT_DF_ST[idx * 52 + qp]) << bdc8;
+                    int eqp = f->map_qp ? f->map_qp[scu] : qp;
+                    int st = (XT_DF_ST[idx * 52 + eqp]) << bdc8;
                     if (st) {
                         uint16_t *rA = f->ry + (y - 2) * W;
                         uint16_t *rB = f->ry + (y - 1) * W;
@@ -1927,8 +2037,8 @@ static void xt_deblock(XtFrame *f)
                         for (int c2 = 0; c2 < 4; c2++)
                             xt_df_luma_line(&rA[xx + c2], &rB[xx + c2], &rC[xx + c2], &rD[xx + c2], st, bd);
                     }
-                    int qp_ui = qp + cfg->qp_u_off;
-                    int qp_vi = qp + cfg->qp_v_off;
+                    int qp_ui = eqp + cfg->qp_u_off;
+                    int qp_vi = eqp + cfg->qp_v_off;
                     if (qp_ui < -6 * bdc8) qp_ui = -6 * bdc8;
                     if (qp_ui > 57) qp_ui = 57;
                     if (qp_vi < -6 * bdc8) qp_vi = -6 * bdc8;
@@ -2527,7 +2637,7 @@ static void xt_adcc_write(XtSbac *s, XtCtx *c, const int32_t *lev,
 /* Main intra CU coding (closed loop): EIPD + IQT + ADCC, DM chroma    */
 /* ------------------------------------------------------------------ */
 
-static void xt_code_cu_main(XtFrame *f, int x, int y, int lg)
+static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
 {
     const XtFrameCfg *cfg = f->cfg;
     int n = 1 << lg;
@@ -2637,6 +2747,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg)
         xt_encode_bin(f->sbac, f->ctx->cbf_cb, nnz_u ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, nnz_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz_y ? 1 : 0);
+        xt_write_dqp_cond(f, 0, 0, (nnz_y || nnz_u || nnz_v), dqp_code);
         if (nnz_y) xt_adcc_write(f->sbac, f->ctx, lev_y, lg, lg, 0, XT_SCAN[lg]);
         if (nnz_u) xt_adcc_write(f->sbac, f->ctx, lev_u, lg - 1, lg - 1, 1,
                                  XT_SCAN[lg - 1]);
@@ -2654,6 +2765,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg)
                 f->map_if[idx] = 1;
                 f->map_ipm[idx] = (int8_t)ipm;
                 f->map_cbf[idx] = nnz_y ? 1 : 0;
+                if (f->map_qp) f->map_qp[idx] = (uint8_t)f->eff_qp;
             }
         f->leaf_x[f->n_leaf] = x;
         f->leaf_y[f->n_leaf] = y;
@@ -2701,7 +2813,7 @@ static void *xt_tile_worker(void *arg)
     for (int ly = job->y0; ly < job->y1; ly++)
         for (int lx = job->x0; lx < job->x1; lx++) {
             xt_rdoq_est(&ctx, &f->est);
-            xt_code_tree(f, lx << 6, ly << 6, 6);
+            xt_code_tree(f, lx << 6, ly << 6, 6, 0, 0);
         }
     xt_encode_bin_trm(&sbac, 1);
     xt_sbac_finish(&sbac);
@@ -2827,6 +2939,7 @@ XT_API int xt_encode_intra_frame(
     const uint8_t *split5, const uint8_t *split6,
     const uint8_t *mode2, const uint8_t *mode3, const uint8_t *mode4,
     const uint8_t *mode5, const uint8_t *mode6,
+    const int8_t *aq_map,               /* per-SCU AQ offsets or NULL */
     uint8_t *out_bs, int64_t out_cap,
     uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
     XtStats *stats)
@@ -2862,24 +2975,21 @@ XT_API int xt_encode_intra_frame(
     for (int i = 0; i < W * H; i++) rec_y[i] = mid;
     for (int i = 0; i < (W / 2) * (H / 2); i++) { rec_u[i] = mid; rec_v[i] = mid; }
 
-    f.qp_y = cfg->qp + 6 * (bd - 8);
-    int qpu_i = cfg->qp + cfg->qp_u_off;
-    int qpv_i = cfg->qp + cfg->qp_v_off;
-    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
-    if (qpu_i > 57) qpu_i = 57;
-    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
-    if (qpv_i > 57) qpv_i = 57;
-    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
-    f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
-    f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+    xt_set_cu_qp(&f, cfg->qp);
+    f.aq_map = aq_map;
+    if (cfg->cu_qp_delta) {
+        f.map_qp = malloc(n_scu);
+        memset(f.map_qp, (uint8_t)cfg->qp, n_scu);
+    }
+    f.qp_prev_eco = cfg->qp;
+    f.dqp_is_coded = 0;
+    f.eff_qp = cfg->qp;
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
     if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
-    free(f.map_tidx);
+    free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     return rc;
 }
@@ -2893,6 +3003,7 @@ XT_API int xt_encode_main_intra_frame(
     const uint8_t *split5, const uint8_t *split6,
     const uint8_t *mode2, const uint8_t *mode3, const uint8_t *mode4,
     const uint8_t *mode5, const uint8_t *mode6,
+    const int8_t *aq_map,               /* per-SCU AQ offsets or NULL */
     uint8_t *out_bs, int64_t out_cap,
     uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
     XtStats *stats)
@@ -2929,24 +3040,21 @@ XT_API int xt_encode_main_intra_frame(
     for (int i = 0; i < W * H; i++) rec_y[i] = mid;
     for (int i = 0; i < (W / 2) * (H / 2); i++) { rec_u[i] = mid; rec_v[i] = mid; }
 
-    f.qp_y = cfg->qp + 6 * (bd - 8);
-    int qpu_i = cfg->qp + cfg->qp_u_off;
-    int qpv_i = cfg->qp + cfg->qp_v_off;
-    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
-    if (qpu_i > 57) qpu_i = 57;
-    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
-    if (qpv_i > 57) qpv_i = 57;
-    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
-    f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
-    f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+    xt_set_cu_qp(&f, cfg->qp);
+    f.aq_map = aq_map;
+    if (cfg->cu_qp_delta) {
+        f.map_qp = malloc(n_scu);
+        memset(f.map_qp, (uint8_t)cfg->qp, n_scu);
+    }
+    f.qp_prev_eco = cfg->qp;
+    f.dqp_is_coded = 0;
+    f.eff_qp = cfg->qp;
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
     if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
-    free(f.map_tidx);
+    free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     return rc;
 }
@@ -2970,6 +3078,7 @@ XT_API int xt_encode_frame(
     const int32_t *const *mv0b_maps,    /* L0 refi=1 planes or NULL */
     const int32_t *const *mv1b_maps,    /* L1 refi=1 planes or NULL */
     const int32_t *const *mvbi_maps,    /* bi-refined L1 planes or NULL */
+    const int8_t *aq_map,               /* per-SCU AQ offsets or NULL */
     uint8_t *out_bs, int64_t out_cap,
     uint16_t *rec_y, uint16_t *rec_u, uint16_t *rec_v,
     int32_t *out_map_mv,                /* (h_scu, w_scu, 2, 2) */
@@ -3022,18 +3131,15 @@ XT_API int xt_encode_frame(
     for (int i = 0; i < W * H; i++) rec_y[i] = mid;
     for (int i = 0; i < (W / 2) * (H / 2); i++) { rec_u[i] = mid; rec_v[i] = mid; }
 
-    f.qp_y = cfg->qp + 6 * (bd - 8);
-    int qpu_i = cfg->qp + cfg->qp_u_off;
-    int qpv_i = cfg->qp + cfg->qp_v_off;
-    if (qpu_i < -6 * (bd - 8)) qpu_i = -6 * (bd - 8);
-    if (qpu_i > 57) qpu_i = 57;
-    if (qpv_i < -6 * (bd - 8)) qpv_i = -6 * (bd - 8);
-    if (qpv_i > 57) qpv_i = 57;
-    f.qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
-    f.lam = 0.57 * pow(2.0, (cfg->qp - 12) / 3.0);
-    f.lam_u = f.lam / pow(2.0, (f.qp_y - f.qp_u) / 3.0);
-    f.lam_v = f.lam / pow(2.0, (f.qp_y - f.qp_v) / 3.0);
+    xt_set_cu_qp(&f, cfg->qp);
+    f.aq_map = aq_map;
+    if (cfg->cu_qp_delta) {
+        f.map_qp = malloc(n_scu);
+        memset(f.map_qp, (uint8_t)cfg->qp, n_scu);
+    }
+    f.qp_prev_eco = cfg->qp;
+    f.dqp_is_coded = 0;
+    f.eff_qp = cfg->qp;
     f.w_u = pow(2.0, (f.qp_y - f.qp_u) / 3.0);
     f.w_v = pow(2.0, (f.qp_y - f.qp_v) / 3.0);
 
@@ -3041,7 +3147,7 @@ XT_API int xt_encode_frame(
     if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
-    free(f.map_skip); free(f.map_tidx);
+    free(f.map_skip); free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     free(f.scratch);
     return rc;

@@ -36,6 +36,7 @@ class EncoderParams:
     tile_columns: int = 1
     tile_rows: int = 1
     rc_type: str = "cq"          # cq | abr | crf
+    aq_mode: int = 0             # 0 off, 1 variance AQ, 2 AQ + cutree-lite
     bitrate_kbps: float = 0.0
     crf: int = 32
     qp_min: int = 0
@@ -105,7 +106,7 @@ class EncoderParams:
             if self.keyint == 0:
                 self.keyint = 0
         elif self.tune == "psnr":
-            pass                      # AQ off once AQ lands
+            self.aq_mode = 0          # xeve tune psnr: AQ off
         elif self.tune:
             raise ValueError(f"unknown tune {self.tune}")
 

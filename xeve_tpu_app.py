@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--ref", type=int, default=-1, dest="ref_pics",
                     help="active reference pictures per list (1-2; "
                          "-1 = preset default)")
+    ap.add_argument("--aq", type=int, default=0, dest="aq_mode",
+                    choices=(0, 1, 2),
+                    help="adaptive quantization (1: variance AQ, "
+                         "2: AQ + cutree-lite)")
     ap.add_argument("--preset", default="medium",
                     choices=("fast", "medium", "slow", "placebo"))
     ap.add_argument("--tune", default="", choices=("", "zerolatency", "psnr"))
@@ -77,6 +81,7 @@ def main():
         preset=args.preset, tune=args.tune,
         tile_columns=args.tile_columns, tile_rows=args.tile_rows,
         threads=args.threads, ref_pics=args.ref_pics,
+        aq_mode=args.aq_mode,
         rc_type=args.rc if args.rc != "cqp" else "cq",
         bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
