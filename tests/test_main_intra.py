@@ -158,3 +158,54 @@ def test_main_ai_multiframe_synthetic():
         assert np.array_equal(f.y, ry)
         assert np.array_equal(f.u, ru)
         assert np.array_equal(f.v, rv)
+
+
+def test_ats_encode_roundtrip_and_parity():
+    """ATS-intra encode (DST7xDST7 candidate, xevem_tq.c:684 forward): the
+    native and numpy passes make identical decisions, streams decode
+    bit-exactly, and the ats_intra_cu flag is actually exercised."""
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    rng = np.random.RandomState(9)
+    w, h = 96, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 9) % 512 + rng.randint(0, 300, (h, w))).clip(0, 1023)
+    u = rng.randint(300, 700, (h // 2, w // 2)).astype(np.int32)
+    v = rng.randint(300, 700, (h // 2, w // 2)).astype(np.int32)
+    e1 = Encoder(EncoderParams(w=w, h=h, qp=27, keyint=1, profile=1),
+                 coder="numpy")
+    e2 = Encoder(EncoderParams(w=w, h=h, qp=27, keyint=1, profile=1),
+                 coder="native")
+    b1, r1 = e1.encode_frame(y, u, v)
+    b2, r2 = e2.encode_frame(y, u, v)
+    assert b1 == b2
+    f = BaselineIntraDecoder().decode(b2)[0]
+    assert np.array_equal(f.y, r2[0])
+    # ats off must differ (the flag bit alone changes the payload)
+    e3 = Encoder(EncoderParams(w=w, h=h, qp=27, keyint=1, profile=1,
+                               tool_ats=0), coder="native")
+    b3, _ = e3.encode_frame(y, u, v)
+    assert b3 != b2
+
+
+def test_htdf_native_encode_roundtrip():
+    """Native HTDF (xt_htdf_cu, ops/htdf_np.py port): byte-exact vs the
+    numpy pass and bit-exact through the decoder."""
+    from xeve_tpu.api import Encoder
+    from xeve_tpu.params import EncoderParams
+    from xeve_tpu.dec.decoder import BaselineIntraDecoder
+    from tools.gen_test_content import gen_frame
+    y, u, v = gen_frame(96, 80, 0)
+    y, u, v = y.astype(np.int16) << 2, u.astype(np.int16) << 2, \
+        v.astype(np.int16) << 2
+    p = dict(w=96, h=80, qp=27, keyint=1, profile=1, tool_htdf=1)
+    e1 = Encoder(EncoderParams(**p), coder="numpy")
+    e2 = Encoder(EncoderParams(**p), coder="native")
+    b1, r1 = e1.encode_frame(y, u, v)
+    b2, r2 = e2.encode_frame(y, u, v)
+    assert b1 == b2
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a, b)
+    f = BaselineIntraDecoder().decode(b2)[0]
+    assert np.array_equal(f.y, r2[0])

@@ -111,6 +111,7 @@ class Encoder:
             tool_adcc=p.tool_adcc,
             tool_iqt=p.tool_iqt,
             tool_htdf=p.tool_htdf,
+            tool_ats=p.tool_ats,
         )
 
     def _make_pps(self) -> PPS:
@@ -414,7 +415,7 @@ class Encoder:
                 np.asarray(y, np.int32), np.asarray(u, np.int32),
                 np.asarray(v, np.int32), qp, qp_y, qp_u, qp_v, bd,
                 tool_iqt=p.tool_iqt, min_log2=p.min_cu_log2)
-        if self.coder_engine == "native" and not p.tool_htdf:
+        if self.coder_engine == "native":
             from .enc.intra_frame_native import encode_intra_frame_native
             slice_payload, bin_count, rec_y, rec_u, rec_v, tile_lens = \
                 encode_intra_frame_native(p.w_aligned, p.h_aligned, bd, qp,
@@ -429,7 +430,9 @@ class Encoder:
                                           threads=p.threads,
                                           aq_map=self._aq_map(y, u, v),
                                           cu_qp_delta_area=self.pps.cu_qp_delta_area,
-                                          dquant_flag=self.sps.dquant_flag)
+                                          dquant_flag=self.sps.dquant_flag,
+                                          tool_ats=p.tool_ats,
+                                          tool_htdf=p.tool_htdf)
         else:
             assert not p.aq_mode, \
                 "AQ requires the native Main intra pass (tool_htdf off)"
@@ -441,7 +444,8 @@ class Encoder:
                                     use_rdoq=p.rdoq,
                                     use_deblock=p.use_deblock,
                                     tool_iqt=p.tool_iqt,
-                                    tool_htdf=p.tool_htdf)
+                                    tool_htdf=p.tool_htdf,
+                                    tool_ats=p.tool_ats)
             rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
             slice_payload = sbac.finish()
             bin_count = sbac.bin_counter
@@ -576,7 +580,9 @@ class Encoder:
                                     threads=p.threads,
                                     aq_map=aq_map,
                                     cu_qp_delta_area=self.pps.cu_qp_delta_area,
-                                    dquant_flag=self.sps.dquant_flag)
+                                    dquant_flag=self.sps.dquant_flag,
+                                    tool_ats=p.tool_ats,
+                                    tool_htdf=p.tool_htdf)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
         assert aq_map is None, "AQ/dqp requires the native coder"
         assert (refp is None or len(refp) <= 1) and \

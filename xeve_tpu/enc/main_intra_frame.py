@@ -24,15 +24,26 @@ from .rdoq import rdoq_block, bit_est_tables
 from .analysis_np import AnalysisResult
 
 
+def _coef_bins(lev, nnz):
+    """Bin-count estimate, exact twin of native xt_coef_bins."""
+    if not nnz:
+        return 0
+    a = np.abs(np.asarray(lev).reshape(-1))
+    idx = np.nonzero(a)[0]
+    return int(a.sum()) + 2 * len(idx) + int(idx[-1]) + 1
+
+
 class MainIntraFramePass:
     def __init__(self, w, h, bd, bd_chroma_minus8, qp, qp_u_off, qp_v_off,
-                 use_rdoq=True, use_deblock=True, tool_iqt=1, tool_htdf=0):
+                 use_rdoq=True, use_deblock=True, tool_iqt=1, tool_htdf=0,
+                 tool_ats=0):
         self.w, self.h, self.bd = w, h, bd
         self.bdc8 = bd_chroma_minus8
         self.qp = qp
         self.qp_u_off, self.qp_v_off = qp_u_off, qp_v_off
         self.iqt = tool_iqt
         self.htdf = tool_htdf
+        self.ats = tool_ats
         self.qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + qp_u_off, -6 * bd_chroma_minus8, 57))
         qpv_i = int(np.clip(qp + qp_v_off, -6 * bd_chroma_minus8, 57))
@@ -136,21 +147,50 @@ class MainIntraFramePass:
         ipm = int(self.an.mode[lg][y >> lg, x >> lg])
         ipm_c = im.IPD_DM_C
 
-        # --- luma closed loop (exact EIPD prediction from recon) ---
+        # --- luma closed loop (exact EIPD prediction from recon), with the
+        # DCT-2 vs ATS DST7xDST7 2-candidate choice mirrored bit-exactly in
+        # native/xt_core.c xt_code_cu_main ---
         nb = im.get_nbr_main(self.rec_y, x, y, s, s, x_scu, y_scu,
                              self.map_cod, self.w_scu, self.h_scu,
                              MIN_CU_SIZE, bd)
         pred_y = np.asarray(im.ipred_main(ipm, nb, s, s, bd), np.int32)
         resi = self.orig_y[y:y + s, x:x + s].astype(np.int32) - pred_y
-        coef_y = rk.forward_dct2(resi, bd)
-        if self.use_rdoq:
-            lev_y, nnz_y = rdoq_block(coef_y, self.qp_y, self.lam, SLICE_I, 0,
-                                      True, bd, self.est, tool_iqt=self.iqt)
-        else:
-            lev_y, nnz_y = rk.quant(coef_y, self.qp_y, SLICE_I, bd,
-                                    tool_iqt=self.iqt)
-        rr = self._itdq(lev_y, self.qp_y) if nnz_y else None
-        self.rec_y[y:y + s, x:x + s] = rk.recon_block(pred_y, rr, bd)
+        ats_ok = self.ats and lg <= 5
+        orig_blk = self.orig_y[y:y + s, x:x + s].astype(np.int64)
+        best = None
+        for cand in range(2 if ats_ok else 1):
+            if cand == 0:
+                coef_y = rk.forward_dct2(resi, bd)
+            else:
+                coef_y = rk.forward_ats(resi, 0, bd)
+            if self.use_rdoq:
+                lev_c, nnz = rdoq_block(coef_y, self.qp_y, self.lam, SLICE_I,
+                                        0, True, bd, self.est,
+                                        tool_iqt=self.iqt)
+            else:
+                lev_c, nnz = rk.quant(coef_y, self.qp_y, SLICE_I, bd,
+                                      tool_iqt=self.iqt)
+            if cand == 1 and not nnz:
+                continue             # ATS needs cbf to signal
+            if nnz:
+                d = rk.dequant(lev_c, self.qp_y, bd, iqt=self.iqt)
+                if cand == 1:
+                    rr = rk.inverse_ats(d, 0, bd)
+                elif self.iqt:
+                    rr = rk.inverse_dct2_iqt(d, bd)
+                else:
+                    rr = rk.inverse_dct2(d, bd)
+            else:
+                rr = None
+            rec_c = rk.recon_block(pred_y, rr, bd)
+            ssd = int(((orig_blk - rec_c) ** 2).sum())
+            bins = _coef_bins(lev_c, nnz) \
+                + (3 if cand == 1 else (1 if (ats_ok and nnz) else 0))
+            cost = float(ssd) + self.lam * float(bins)
+            if best is None or cost < best[0]:
+                best = (cost, cand, lev_c, nnz, rec_c)
+        _, ats_cu, lev_y, nnz_y, rec_best = best
+        self.rec_y[y:y + s, x:x + s] = rec_best
 
         # --- chroma closed loop (DM) ---
         xc, yc, sc = x >> 1, y >> 1, s >> 1
@@ -186,6 +226,12 @@ class MainIntraFramePass:
         syntax.write_cbf_intra(self.sbac, self.ctx,
                                1 if nnz_y else 0, 1 if nnz_u else 0,
                                1 if nnz_v else 0)
+        if ats_ok and nnz_y:
+            # ats_intra_cu (EP) + tuH/tuV mode bits (xevem_eco.c:1396)
+            self.sbac.encode_bin_ep(ats_cu)
+            if ats_cu:
+                self.sbac.encode_bin(0, self.ctx.ats_mode, 0)
+                self.sbac.encode_bin(0, self.ctx.ats_mode, 0)
         if nnz_y:
             syntax_main.write_coef_block_main(self.sbac, self.ctx, lev_y, 0)
         if nnz_u:

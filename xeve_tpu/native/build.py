@@ -24,7 +24,9 @@ class XtFrameCfg(ctypes.Structure):
                 ("threads", ctypes.c_int32),
                 ("cu_qp_delta", ctypes.c_int32),
                 ("cu_qp_delta_area", ctypes.c_int32),
-                ("dquant_flag", ctypes.c_int32)]
+                ("dquant_flag", ctypes.c_int32),
+                ("tool_ats", ctypes.c_int32),
+                ("tool_htdf", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):

@@ -53,6 +53,9 @@ typedef struct {
     uint16_t intra_chroma_pred_mode[1];
     uint16_t sig_coeff_flag[47], coeff_gtAB[18];
     uint16_t last_sig_x_prefix[21], last_sig_y_prefix[21];
+    uint16_t ats_mode[1], ats_cu_inter_flag[2];
+    uint16_t ats_cu_inter_quad_flag[1], ats_cu_inter_hor_flag[3];
+    uint16_t ats_cu_inter_pos_flag[1];
 } XtCtx;
 
 static void xt_ctx_init(XtCtx *c)
@@ -305,6 +308,75 @@ static void xt_inv_dct2(const int32_t *coef, int32_t *resi, int lg, int bd)
             resi[k * n + (n - 1 - c)] = (int32_t)b;
         }
     }
+}
+
+/* ATS (DST-7 / DCT-8) transforms, square TBs 4..32.  ats_mode bit1
+ * selects the horizontal transform, bit0 the vertical (0=DST7, 1=DCT8).
+ * Forward shifts per xeve_t_MxN_ats_intra (xevem_tq.c:684-687); inverse
+ * is the exact integer twin of ops/reference_kernels.inverse_ats (the
+ * conformance-proven decoder path, xevem_itdq.c:278 semantics). */
+static void xt_fwd_ats(const int32_t *resi, int32_t *coef, int lg, int bd,
+                       int ats_mode)
+{
+    int n = 1 << lg;
+    const int16_t *th = (ats_mode >> 1) ? XT_DCT8[lg] : XT_DST7[lg];
+    const int16_t *tv = (ats_mode & 1) ? XT_DCT8[lg] : XT_DST7[lg];
+    int s1 = lg - 1 + bd - 8;
+    int s2 = lg + 6;
+    int64_t a1 = 1ll << (s1 - 1), a2 = 1ll << (s2 - 1);
+    int32_t t[64 * 64];   /* ATS TBs are <= 32x32; sized for the compiler's
+                             const-propagated (unreachable) lg=6 path */
+    for (int i = 0; i < n; i++)
+        for (int k = 0; k < n; k++) {
+            int64_t s = 0;
+            for (int j = 0; j < n; j++)
+                s += (int64_t)resi[i * n + j] * th[k * n + j];
+            s = (s + a1) >> s1;
+            if (s > 32767) s = 32767;
+            if (s < -32768) s = -32768;
+            t[i * n + k] = (int32_t)s;
+        }
+    for (int r = 0; r < n; r++)
+        for (int k = 0; k < n; k++) {
+            int64_t s = 0;
+            for (int i = 0; i < n; i++)
+                s += (int64_t)tv[r * n + i] * t[i * n + k];
+            s = (s + a2) >> s2;
+            if (s > 32767) s = 32767;
+            if (s < -32768) s = -32768;
+            coef[r * n + k] = (int32_t)s;
+        }
+}
+
+static void xt_inv_ats(const int32_t *coef, int32_t *resi, int lg, int bd,
+                       int ats_mode)
+{
+    int n = 1 << lg;
+    const int16_t *tv = (ats_mode & 1) ? XT_DCT8[lg] : XT_DST7[lg];
+    const int16_t *th = (ats_mode >> 1) ? XT_DCT8[lg] : XT_DST7[lg];
+    int32_t b1[64 * 64];
+    for (int x = 0; x < n; x++)
+        for (int k = 0; k < n; k++) {
+            int64_t s = 0;
+            for (int i = 0; i < n; i++)
+                s += (int64_t)coef[i * n + x] * tv[i * n + k];
+            s = (s + 64) >> 7;
+            if (s > 32767) s = 32767;
+            if (s < -32768) s = -32768;
+            b1[x * n + k] = (int32_t)s;
+        }
+    int s2 = 20 - bd;
+    int64_t add = 1ll << (s2 - 1);
+    for (int k = 0; k < n; k++)
+        for (int j = 0; j < n; j++) {
+            int64_t s = 0;
+            for (int x = 0; x < n; x++)
+                s += (int64_t)b1[x * n + k] * th[x * n + j];
+            s = (s + add) >> s2;
+            if (s > 32767) s = 32767;
+            if (s < -32768) s = -32768;
+            resi[k * n + j] = (int32_t)s;
+        }
 }
 
 static void xt_dequant(const int32_t *lev, int32_t *out, int lg, int qp, int bd,
@@ -567,6 +639,8 @@ typedef struct {
     int32_t cu_qp_delta;                    /* PPS cu_qp_delta_enabled */
     int32_t cu_qp_delta_area;               /* PPS area (log2w+log2h) */
     int32_t dquant_flag;                    /* SPS dquant (group mode) */
+    int32_t tool_ats;                       /* SPS ATS (DST7/DCT8) */
+    int32_t tool_htdf;                      /* SPS HTDF in-loop filter */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -1542,6 +1616,128 @@ static void xt_ctx_flags(const XtFrame *f, int x_scu, int y_scu,
     *ctx_pred = ifl > 2 ? 2 : ifl;
 }
 
+/* HTDF — Hadamard transform-domain in-loop filter on an intra CU's luma
+ * recon (ops/htdf_np.py exact port; xevem_recon.c:116-363 semantics,
+ * golden-verified intra-only application with the slice qp).  Must run
+ * once the CU's recon is in f->ry; the 7 availability flags only look at
+ * SCUs outside the CU, so ordering vs the CU's own map update is free. */
+static const uint8_t XT_HTDF_THRL2[5] = {6, 7, 7, 8, 8};
+static const int16_t XT_HTDF_TBL[5][16] = {
+    {0, 0, 2, 6, 10, 14, 19, 23, 28, 32, 36, 41, 45, 49, 53, 57},
+    {0, 0, 5, 12, 20, 29, 38, 47, 56, 65, 73, 82, 90, 98, 107, 115},
+    {0, 0, 1, 4, 9, 16, 24, 32, 41, 50, 59, 68, 77, 86, 94, 103},
+    {0, 0, 3, 9, 19, 32, 47, 64, 81, 99, 117, 135, 154, 179, 205, 230},
+    {0, 0, 0, 2, 6, 11, 18, 27, 38, 51, 64, 96, 128, 160, 192, 224},
+};
+
+static inline int32_t xt_htdf_soft(int32_t z, const int16_t *tbl, int thrl2)
+{
+    int shift = thrl2 - 4;
+    int rnd = (1 << shift) >> 1;
+    int thr = (1 << thrl2) - (1 << shift);
+    int32_t az = z < 0 ? -z : z;
+    int32_t i = (az + rnd) >> shift;
+    if (i > 15) i = 15;
+    int32_t mag = (az >= thr) ? az : tbl[i];
+    return z < 0 ? -mag : mag;
+}
+
+static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int qp = cfg->qp;
+    if (qp <= 17 || n * n < 64 || n >= 128) return;
+    if (!intra) { if (n >= 32) return; }
+    else if (n >= 32) qp -= 8;
+    int idx = (qp - 20 + 4) >> 3;
+    if (idx < 0) idx = 0;
+    if (idx > 4) idx = 4;
+    const int16_t *tbl = XT_HTDF_TBL[idx];
+    int thrl2 = XT_HTDF_THRL2[idx];
+
+    int W = cfg->w;
+    int x_scu = x >> 2, y_scu = y >> 2, scuw = n >> 2, scuh = n >> 2;
+    const uint8_t *cod = f->map_cod;
+    int w_scu = f->w_scu, h_scu = f->h_scu;
+    int le = x_scu > 0 && cod[y_scu * w_scu + x_scu - 1];
+    int ri = x_scu + scuw < w_scu && cod[y_scu * w_scu + x_scu + scuw];
+    int up = y_scu > 0;
+    int up_le = x_scu > 0 && y_scu > 0 &&
+        cod[(y_scu - 1) * w_scu + x_scu - 1];
+    int up_ri = y_scu > 0 && x_scu + scuw < w_scu &&
+        cod[(y_scu - 1) * w_scu + x_scu + scuw];
+    int diag = y_scu + scuh + scuw - 1 < h_scu;
+    int lo_le = le && diag &&
+        cod[(y_scu + scuw + scuh - 1) * w_scu + x_scu - 1];
+    int lo_ri = ri && diag &&
+        cod[(y_scu + scuw + scuh - 1) * w_scu + x_scu + scuw];
+
+    int32_t ext[66 * 66], acc[66 * 66];
+    int ew = n + 2;
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+            ext[(i + 1) * ew + j + 1] = f->ry[(y + i) * W + x + j];
+    for (int i = 0; i < n; i++) {
+        ext[(i + 1) * ew] = le ? f->ry[(y + i) * W + x - 1]
+                               : ext[(i + 1) * ew + 1];
+        ext[(i + 1) * ew + n + 1] = ri ? f->ry[(y + i) * W + x + n]
+                                       : ext[(i + 1) * ew + n];
+    }
+    for (int j = 0; j < n; j++) {
+        ext[j + 1] = up ? f->ry[(y - 1) * W + x + j] : ext[ew + j + 1];
+        ext[(n + 1) * ew + j + 1] = ext[n * ew + j + 1];  /* bottom repl. */
+    }
+    ext[0] = up_le ? f->ry[(y - 1) * W + x - 1] : ext[ew + 1];
+    ext[n + 1] = up_ri ? f->ry[(y - 1) * W + x + n] : ext[ew + n];
+    ext[(n + 1) * ew] = lo_le ? f->ry[(y + n) * W + x - 1]
+                              : ext[n * ew + 1];
+    ext[(n + 1) * ew + n + 1] = lo_ri ? f->ry[(y + n) * W + x + n]
+                                      : ext[n * ew + n];
+
+    memset(acc, 0, sizeof(int32_t) * ew * ew);
+    for (int i = 0; i < n + 1; i++)
+        for (int j = 0; j < n + 1; j++) {
+            int32_t x0 = ext[i * ew + j], x1 = ext[i * ew + j + 1];
+            int32_t x2 = ext[(i + 1) * ew + j], x3 = ext[(i + 1) * ew + j + 1];
+            int32_t y0 = x0 + x2, y1 = x1 + x3;
+            int32_t y2 = x0 - x2, y3 = x1 - x3;
+            int32_t t0 = y0 + y1;
+            int32_t t1 = xt_htdf_soft(y0 - y1, tbl, thrl2);
+            int32_t t2 = xt_htdf_soft(y2 + y3, tbl, thrl2);
+            int32_t t3 = xt_htdf_soft(y2 - y3, tbl, thrl2);
+            int32_t iy0 = t0 + t2, iy1 = t1 + t3;
+            int32_t iy2 = t0 - t2, iy3 = t1 - t3;
+            acc[i * ew + j] += (iy0 + iy1) >> 2;
+            acc[i * ew + j + 1] += (iy0 - iy1) >> 2;
+            acc[(i + 1) * ew + j] += (iy2 + iy3) >> 2;
+            acc[(i + 1) * ew + j + 1] += (iy2 - iy3) >> 2;
+        }
+    int mx = (1 << cfg->bd) - 1;
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            int32_t v = (acc[(i + 1) * ew + j + 1] + 2) >> 2;
+            if (v < 0) v = 0;
+            if (v > mx) v = mx;
+            f->ry[(y + i) * W + x + j] = (uint16_t)v;
+        }
+}
+
+/* ATS signalling for P/B CUs: this pass codes inter residuals with DCT-2
+ * only, but when sps_ats is on the flags are mandatory syntax
+ * (dec/decoder.py:663-698 inverse; xevem_eco.c:1396-1412).  Intra CUs in
+ * P/B slices likewise get ats_intra_cu=0. */
+static void xt_write_ats_zero(XtFrame *f, int is_intra, int cbf_gate, int lg)
+{
+    if (!f->cfg->tool_ats) return;
+    if (is_intra) {
+        if (cbf_gate && lg <= 5) xt_encode_bin_ep(f->sbac, 0);
+        return;
+    }
+    if (!cbf_gate || (1 << lg) < 8) return;
+    int cf = f->cfg->cm_init ? ((2 * lg >= 8) ? 0 : 1) : 0;
+    xt_encode_bin(f->sbac, &f->ctx->ats_cu_inter_flag[cf], 0);
+}
+
 /* P/B-slice CU: decide among {skip, inter MVD, intra, [temporal direct]}
  * with closed-loop costs, then code syntax + reconstruction
  * (frame_pass.py _code_cu; xeve_pinter.c:1839 candidate structure) */
@@ -1811,6 +2007,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                            dn_v ? 1 : 0);
         xt_write_dqp_cond(f, 0, !(dn_y || dn_u || dn_v),
                           (dn_y || dn_u || dn_v), dqp_code);
+        xt_write_ats_zero(f, 0, (dn_y || dn_u || dn_v), lg);
         if (dn_y) XT_COEF(wk->dir_ly, lg, 0);
         if (dn_u) XT_COEF(wk->dir_lu, lg - 1, 1);
         if (dn_v) XT_COEF(wk->dir_lv, lg - 1, 1);
@@ -1845,6 +2042,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                            in_v ? 1 : 0);
         xt_write_dqp_cond(f, 0, !(in_y || in_u || in_v),
                           (in_y || in_u || in_v), dqp_code);
+        xt_write_ats_zero(f, 0, (in_y || in_u || in_v), lg);
         if (in_y) XT_COEF(wk->in_ly, lg, 0);
         if (in_u) XT_COEF(wk->in_lu, lg - 1, 1);
         if (in_v) XT_COEF(wk->in_lv, lg - 1, 1);
@@ -1876,11 +2074,14 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, it_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, it_y ? 1 : 0);
         xt_write_dqp_cond(f, 0, 0, (it_y || it_u || it_v), dqp_code);
+        xt_write_ats_zero(f, 1, it_y, lg);
         if (it_y) XT_COEF(wk->it_ly, lg, 0);
         if (it_u) XT_COEF(wk->it_lu, lg - 1, 1);
         if (it_v) XT_COEF(wk->it_lv, lg - 1, 1);
         xt_store_cu_pb(f, x, y, lg, wk->it_ry, wk->it_ru, wk->it_rv,
                        it_y, 1, ipm, NULL, NULL);
+        /* HTDF on intra CUs in P/B slices (decoder parity: intra-only) */
+        if (cfg->tool_htdf) xt_htdf_cu(f, x, y, s, 1);
     }
     #undef XT_COEF
 }
@@ -2660,35 +2861,68 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
         for (int j = 0; j < n; j++)
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j]
                               - pred_y[i * n + j];
-    xt_fwd_dct2(resi, coef, lg, bd);
-    int nnz_y;
-    if (cfg->use_rdoq)
-        nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, 1,
-                        iqt);
-    else
-        nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, 1, bd, iqt);
+    /* --- luma transform choice: DCT-2 vs ATS DST7xDST7 (fast 2-candidate
+     * subset of xevem_pintra.c's ATS-intra RDO loop; signalable only when
+     * nnz>0, xevem_eco.c:1396) --- */
+    int ats_ok = cfg->tool_ats && lg <= 5;
+    int nnz_y = 0;
+    int ats_cu = 0;
     {
         int mx = (1 << bd) - 1;
-        if (nnz_y) {
-            int32_t dq[64 * 64], rr[64 * 64];
-            xt_dequant(lev_y, dq, lg, f->qp_y, bd, iqt);
-            if (iqt) xt_inv_dct2_iqt(dq, rr, lg, bd);
-            else xt_inv_dct2(dq, rr, lg, bd);
-            for (int i = 0; i < n; i++)
-                for (int j = 0; j < n; j++) {
-                    int16_t t = (int16_t)(rr[i * n + j] + pred_y[i * n + j]);
+        int32_t lev_c[64 * 64], rec_c[64 * 64], rec_b[64 * 64];
+        int32_t dq[64 * 64], rr[64 * 64];
+        double best_cost = 0;
+        int have = 0;
+        for (int cand = 0; cand < (ats_ok ? 2 : 1); cand++) {
+            int nnz;
+            if (cand == 0) xt_fwd_dct2(resi, coef, lg, bd);
+            else           xt_fwd_ats(resi, coef, lg, bd, 0);
+            if (cfg->use_rdoq)
+                nnz = xt_rdoq(coef, lev_c, lg, f->qp_y, f->lam, 0, bd,
+                              &f->est, 1, iqt);
+            else
+                nnz = xt_quant(coef, lev_c, lg, f->qp_y, 1, bd, iqt);
+            if (cand == 1 && !nnz) continue;   /* ATS needs cbf to signal */
+            if (nnz) {
+                xt_dequant(lev_c, dq, lg, f->qp_y, bd, iqt);
+                if (cand == 1)  xt_inv_ats(dq, rr, lg, bd, 0);
+                else if (iqt)   xt_inv_dct2_iqt(dq, rr, lg, bd);
+                else            xt_inv_dct2(dq, rr, lg, bd);
+                for (int i = 0; i < n * n; i++) {
+                    int16_t t = (int16_t)(rr[i] + pred_y[i]);
                     int32_t v = t;
                     if (v < 0) v = 0; if (v > mx) v = mx;
-                    f->ry[(y + i) * W + x + j] = (uint16_t)v;
+                    rec_c[i] = v;
                 }
-        } else {
+            } else {
+                for (int i = 0; i < n * n; i++) {
+                    int32_t v = pred_y[i];
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    rec_c[i] = v;
+                }
+            }
+            int64_t ssd = 0;
             for (int i = 0; i < n; i++)
                 for (int j = 0; j < n; j++) {
-                    int32_t v = pred_y[i * n + j];
-                    if (v < 0) v = 0; if (v > mx) v = mx;
-                    f->ry[(y + i) * W + x + j] = (uint16_t)v;
+                    int64_t d = (int64_t)f->oy[(y + i) * W + x + j]
+                                - rec_c[i * n + j];
+                    ssd += d * d;
                 }
+            int64_t bins = xt_coef_bins(lev_c, n * n, nnz)
+                + (cand == 1 ? 3 : (ats_ok && nnz ? 1 : 0));
+            double cost = (double)ssd + f->lam * (double)bins;
+            if (!have || cost < best_cost) {
+                have = 1;
+                best_cost = cost;
+                nnz_y = nnz;
+                ats_cu = cand;
+                memcpy(lev_y, lev_c, sizeof(int32_t) * n * n);
+                memcpy(rec_b, rec_c, sizeof(int32_t) * n * n);
+            }
         }
+        for (int i = 0; i < n; i++)
+            for (int j = 0; j < n; j++)
+                f->ry[(y + i) * W + x + j] = (uint16_t)rec_b[i * n + j];
     }
 
     /* --- chroma (DM: luma mode at chroma size) --- */
@@ -2748,12 +2982,23 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
         xt_encode_bin(f->sbac, f->ctx->cbf_cr, nnz_v ? 1 : 0);
         xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz_y ? 1 : 0);
         xt_write_dqp_cond(f, 0, 0, (nnz_y || nnz_u || nnz_v), dqp_code);
+        if (ats_ok && nnz_y) {
+            /* ats_intra_cu (EP) + tuH/tuV mode bits (xevem_eco.c:1396) */
+            xt_encode_bin_ep(f->sbac, ats_cu);
+            if (ats_cu) {
+                xt_encode_bin(f->sbac, f->ctx->ats_mode, 0);
+                xt_encode_bin(f->sbac, f->ctx->ats_mode, 0);
+            }
+        }
         if (nnz_y) xt_adcc_write(f->sbac, f->ctx, lev_y, lg, lg, 0, XT_SCAN[lg]);
         if (nnz_u) xt_adcc_write(f->sbac, f->ctx, lev_u, lg - 1, lg - 1, 1,
                                  XT_SCAN[lg - 1]);
         if (nnz_v) xt_adcc_write(f->sbac, f->ctx, lev_v, lg - 1, lg - 1, 1,
                                  XT_SCAN[lg - 1]);
     }
+
+    /* --- HTDF on the luma recon (xevem_pintra.c:106) --- */
+    if (cfg->tool_htdf) xt_htdf_cu(f, x, y, n, 1);
 
     /* --- maps --- */
     {

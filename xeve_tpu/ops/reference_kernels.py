@@ -114,6 +114,23 @@ def dequant(levels: np.ndarray, qp: int, bit_depth: int,
     return np.clip(lev, -32768, 32767).astype(np.int32)
 
 
+def forward_ats(resi: np.ndarray, ats_mode: int, bit_depth: int) -> np.ndarray:
+    """Forward DST7/DCT8 2-D transform (xeve_t_MxN_ats_intra shifts,
+    xevem_tq.c:684-687): horizontal stage then vertical, int16 intermediate.
+    ats_mode bit1 selects the horizontal transform, bit0 the vertical."""
+    from ..constants_ats import TR_DST7, TR_DCT8
+    h, w = resi.shape
+    tm_h = (TR_DCT8 if (ats_mode >> 1) else TR_DST7)[w]
+    tm_v = (TR_DCT8 if (ats_mode & 1) else TR_DST7)[h]
+    s1 = (w.bit_length() - 1) - 1 + bit_depth - 8
+    s2 = (h.bit_length() - 1) + 6
+    a = resi.astype(np.int64)
+    t = (a @ tm_h.T + (1 << (s1 - 1))) >> s1
+    t = np.clip(t, -32768, 32767)
+    c = (tm_v @ t + (1 << (s2 - 1))) >> s2
+    return np.clip(c, -32768, 32767).astype(np.int32)
+
+
 def inverse_ats(coef: np.ndarray, ats_mode: int, bit_depth: int) -> np.ndarray:
     """Inverse DST7/DCT8 2-D transform (xeve_it_MxN_ats_intra,
     xevem_itdq.c:278): ats_mode bit1 selects the horizontal transform,

@@ -48,6 +48,7 @@ class EncoderParams:
     tool_adcc: int = -1
     tool_iqt: int = -1
     tool_htdf: int = -1
+    tool_ats: int = -1
 
     def validate(self):
         assert self.w > 0 and self.h > 0
@@ -65,9 +66,12 @@ class EncoderParams:
             self.tool_iqt = 1 if is_main else 0
         if self.tool_htdf < 0:
             self.tool_htdf = 0          # HTDF encode lands separately
+        if self.tool_ats < 0:
+            self.tool_ats = 1 if is_main else 0   # xevem.c:1111 default
         if not is_main:
             assert not (self.tool_eipd or self.tool_cm_init or self.tool_adcc
-                        or self.tool_iqt or self.tool_htdf), \
+                        or self.tool_iqt or self.tool_htdf
+                        or self.tool_ats), \
                 "Main tools require profile=1"
         if not self.tool_cm_init:
             assert not self.tool_adcc, "ADCC requires cm_init (SPS syntax)"
