@@ -290,8 +290,8 @@ class DeviceAnalyzer:
 
     def __init__(self, w: int, h: int, bd: int = 10, search_range: int = 16,
                  min_log2: int = 2, max_log2: int = 6, ring_size: int = 24):
-        if bd != 10:
-            raise ValueError("device analyzer is 10-bit internal")
+        if bd not in (8, 10):
+            raise ValueError("device analyzer supports 8/10-bit internal")
         self.w, self.h, self.bd = w, h, bd
         self.R = int(search_range)
         self.min_log2, self.max_log2 = min_log2, max_log2

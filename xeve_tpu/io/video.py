@@ -7,9 +7,11 @@ import numpy as np
 
 
 class YuvReader:
-    def __init__(self, path: str, w: int, h: int, depth: int = 8):
+    def __init__(self, path: str, w: int, h: int, depth: int = 8,
+                 codec_depth: int = 10):
         self.f = open(path, "rb")
         self.w, self.h, self.depth = w, h, depth
+        self.codec_depth = codec_depth
         self.dtype = np.dtype(np.uint8) if depth == 8 else np.dtype("<u2")
         self.frame_bytes = (w * h * 3 // 2) * self.dtype.itemsize
 
@@ -23,8 +25,11 @@ class YuvReader:
         y = a[:w * h].reshape(h, w).astype(np.int32)
         u = a[w * h:w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int32)
         v = a[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int32)
-        if self.depth == 8:
-            y, u, v = y << 2, u << 2, v << 2   # to 10-bit internal
+        sh = self.codec_depth - self.depth     # to the internal depth
+        if sh > 0:
+            y, u, v = y << sh, u << sh, v << sh
+        elif sh < 0:
+            y, u, v = y >> -sh, u >> -sh, v >> -sh
         return y, u, v
 
     def close(self):
@@ -32,7 +37,8 @@ class YuvReader:
 
 
 class Y4mReader:
-    def __init__(self, path: str):
+    def __init__(self, path: str, codec_depth: int = 10):
+        self.codec_depth = codec_depth
         self.f = open(path, "rb")
         header = b""
         while not header.endswith(b"\n"):
@@ -70,23 +76,28 @@ class Y4mReader:
         y = a[:w * h].reshape(h, w).astype(np.int32)
         u = a[w * h:w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int32)
         v = a[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int32)
-        if self.depth == 8:
-            y, u, v = y << 2, u << 2, v << 2
+        sh = self.codec_depth - self.depth
+        if sh > 0:
+            y, u, v = y << sh, u << sh, v << sh
+        elif sh < 0:
+            y, u, v = y >> -sh, u >> -sh, v >> -sh
         return y, u, v
 
     def close(self):
         self.f.close()
 
 
-def open_video(path: str, w: int = 0, h: int = 0, depth: int = 8):
+def open_video(path: str, w: int = 0, h: int = 0, depth: int = 8,
+               codec_depth: int = 10):
     if path.endswith(".y4m"):
-        return Y4mReader(path)
+        return Y4mReader(path, codec_depth=codec_depth)
     assert w > 0 and h > 0, "raw yuv needs -w/-h"
-    return YuvReader(path, w, h, depth)
+    return YuvReader(path, w, h, depth, codec_depth=codec_depth)
 
 
 def write_recon_frame(f, y, u, v):
-    """10-bit little-endian planar, matching xeve_app's recon dump."""
+    """16-bit little-endian planar (any codec depth), matching xeve_app's
+    recon dump container."""
     f.write(np.asarray(y, dtype="<u2").tobytes())
     f.write(np.asarray(u, dtype="<u2").tobytes())
     f.write(np.asarray(v, dtype="<u2").tobytes())

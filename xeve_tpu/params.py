@@ -53,7 +53,8 @@ class EncoderParams:
     def validate(self):
         assert self.w > 0 and self.h > 0
         assert 0 <= self.qp <= 51, f"qp {self.qp} out of range [0, 51]"
-        assert self.codec_bit_depth in (10,)
+        assert self.codec_bit_depth in (8, 10), \
+            "8- and 10-bit internal coding supported (inc/xeve.h:345)"
         self._apply_preset_tune()
         is_main = self.profile == 1
         if self.tool_eipd < 0:

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("-h2", "--height", type=int, default=0)
     ap.add_argument("-q", "--qp", type=int, default=32)
     ap.add_argument("-d", "--input-depth", type=int, default=8, choices=(8, 10))
+    ap.add_argument("--codec-bd", type=int, default=10, choices=(8, 10),
+                    help="internal coding bit depth")
     ap.add_argument("-I", "--keyint", type=int, default=0,
                     help="0: first frame I only; 1: all-intra; N: I every N")
     ap.add_argument("-b", "--bframes", type=int, default=0,
@@ -63,7 +65,8 @@ def main():
     from xeve_tpu.api import Encoder, GopEncoder, psnr
     from xeve_tpu.params import EncoderParams
 
-    reader = open_video(args.input, args.width, args.height, args.input_depth)
+    reader = open_video(args.input, args.width, args.height, args.input_depth,
+                        codec_depth=args.codec_bd)
     w, h = getattr(reader, "w", args.width), getattr(reader, "h", args.height)
 
     analysis = args.analysis
@@ -85,7 +88,7 @@ def main():
         rc_type=args.rc if args.rc != "cqp" else "cq",
         bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
-        use_pic_sign=args.hash)
+        use_pic_sign=args.hash, codec_bit_depth=args.codec_bd)
     cls = GopEncoder if args.bframes >= 15 else Encoder
     enc = cls(params, analysis=analysis, coder=args.coder)
 
@@ -118,7 +121,7 @@ def main():
         if fo:
             fo.write(bs)
         p = psnr(rec[0][:originals[poc].shape[0], :originals[poc].shape[1]],
-                 originals[poc])
+                 originals[poc], bd=args.codec_bd)
         psnrs.append(p)
         if fr:
             out_by_poc[poc] = rec
