@@ -64,11 +64,12 @@ def psnr_y(a, b):
     return 99.0 if mse == 0 else 10.0 * np.log10(1023.0 ** 2 / mse)
 
 
-def run_ours(frames10, w, h, qp, profile, keyint, bframes, analysis="numpy"):
+def run_ours(frames10, w, h, qp, profile, keyint, bframes, analysis="numpy",
+             **extra):
     from xeve_tpu.api import Encoder, GopEncoder
     from xeve_tpu.params import EncoderParams
     p = EncoderParams(w=w, h=h, qp=qp, keyint=keyint, bframes=bframes,
-                      profile=profile)
+                      profile=profile, **extra)
     enc = (GopEncoder if bframes >= 15 else Encoder)(p, analysis=analysis,
                                                      coder="native")
     nbytes = 0
@@ -80,7 +81,8 @@ def run_ours(frames10, w, h, qp, profile, keyint, bframes, analysis="numpy"):
     return kbps, float(np.mean(ps))
 
 
-def run_xeve(yuv_path, frames10, w, h, qp, profile, keyint, bframes, n):
+def run_xeve(yuv_path, frames10, w, h, qp, profile, keyint, bframes, n,
+             xeve_extra=()):
     """PSNR/rate from xeve_app's own summary (-v 3), 10-bit PSNR vs input
     — works for the full Main toolset (ALF/BTT) without a decode."""
     with tempfile.NamedTemporaryFile(suffix=".evc", delete=False) as f:
@@ -89,7 +91,7 @@ def run_xeve(yuv_path, frames10, w, h, qp, profile, keyint, bframes, n):
            "-q", str(qp), "-I", str(keyint), "-b", str(bframes),
            "--profile", "main" if profile else "baseline",
            "--preset", "medium", "-m", "1", "--frames", str(n), "-o", evc,
-           "-v", "3"]
+           "-v", "3"] + list(xeve_extra)
     txt = subprocess.run(cmd, capture_output=True, text=True).stdout
     os.unlink(evc)
     psnr = kbps = None
@@ -103,7 +105,7 @@ def run_xeve(yuv_path, frames10, w, h, qp, profile, keyint, bframes, n):
 
 
 def ladder(name, w, h, n, profile, keyint, bframes, frames8, frames10,
-           analysis="numpy"):
+           analysis="numpy", ours_extra=None, xeve_extra=()):
     yuv = os.path.join(tempfile.gettempdir(), f"bd_{name}.yuv")
     with open(yuv, "wb") as f:
         for (y, u, v) in frames8:
@@ -113,10 +115,11 @@ def ladder(name, w, h, n, profile, keyint, bframes, frames8, frames10,
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
     for qp in QPS:
         r, p = run_ours(frames10, w, h, qp, profile, keyint, bframes,
-                        analysis)
+                        analysis, **(ours_extra or {}))
         ours_r.append(r)
         ours_p.append(p)
-        r, p = run_xeve(yuv, frames10, w, h, qp, profile, keyint, bframes, n)
+        r, p = run_xeve(yuv, frames10, w, h, qp, profile, keyint, bframes, n,
+                        xeve_extra)
         ref_r.append(r)
         ref_p.append(p)
     bd = bd_rate(ref_r, ref_p, ours_r, ours_p)
@@ -140,15 +143,24 @@ def main():
         return
     w, h, n = args.w, args.h, args.frames
     frames8, frames10 = gen_clip(w, h, n)
+    # (profile, keyint, bframes, ours_extra, xeve_extra): matched-settings
+    # ladders; ld_ref2 compares 2 active refs on both sides
     cfgs = {
-        "ai": (0, 1, 0), "ld": (0, 0, 0), "ra": (0, 0, 15),
-        "ai_main": (1, 1, 0), "ra_main": (1, 0, 15),
+        "ai": (0, 1, 0, None, ()),
+        "ld": (0, 0, 0, None, ()),
+        "ra": (0, 0, 15, None, ()),
+        "ld_ref2": (0, 0, 0, {"ref_pics": 2}, ("--ref", "2")),
+        "ra_ref2": (0, 0, 15, {"ref_pics": 2}, ("--ref", "2")),
+        "ra_aq": (0, 0, 15, {"aq_mode": 2}, ("--aq", "1")),
+        "ai_main": (1, 1, 0, None, ()),
+        "ra_main": (1, 0, 15, None, ()),
     }
     out = []
     for name in args.configs.split(","):
-        profile, keyint, bframes = cfgs[name]
+        profile, keyint, bframes, ours_extra, xeve_extra = cfgs[name]
         out.append(ladder(name, w, h, n, profile, keyint, bframes,
-                          frames8, frames10, args.analysis))
+                          frames8, frames10, args.analysis,
+                          ours_extra=ours_extra, xeve_extra=xeve_extra))
         print(json.dumps(out[-1]), flush=True)
 
 

@@ -158,7 +158,10 @@ class MainIntraFramePass:
         ats_ok = self.ats and lg <= 5
         orig_blk = self.orig_y[y:y + s, x:x + s].astype(np.int64)
         best = None
+        nnz_dct2 = 0
         for cand in range(2 if ats_ok else 1):
+            if cand == 1 and nnz_dct2 <= 1:
+                break                # fast gate, identical to the C pass
             if cand == 0:
                 coef_y = rk.forward_dct2(resi, bd)
             else:
@@ -170,6 +173,8 @@ class MainIntraFramePass:
             else:
                 lev_c, nnz = rk.quant(coef_y, self.qp_y, SLICE_I, bd,
                                       tool_iqt=self.iqt)
+            if cand == 0:
+                nnz_dct2 = nnz
             if cand == 1 and not nnz:
                 continue             # ATS needs cbf to signal
             if nnz:

@@ -2873,8 +2873,11 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
         int32_t dq[64 * 64], rr[64 * 64];
         double best_cost = 0;
         int have = 0;
+        int nnz_dct2 = 0;
         for (int cand = 0; cand < (ats_ok ? 2 : 1); cand++) {
             int nnz;
+            /* fast gate: low-activity blocks gain nothing from DST7 */
+            if (cand == 1 && nnz_dct2 <= 1) break;
             if (cand == 0) xt_fwd_dct2(resi, coef, lg, bd);
             else           xt_fwd_ats(resi, coef, lg, bd, 0);
             if (cfg->use_rdoq)
@@ -2882,6 +2885,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
                               &f->est, 1, iqt);
             else
                 nnz = xt_quant(coef, lev_c, lg, f->qp_y, 1, bd, iqt);
+            if (cand == 0) nnz_dct2 = nnz;
             if (cand == 1 && !nnz) continue;   /* ATS needs cbf to signal */
             if (nnz) {
                 xt_dequant(lev_c, dq, lg, f->qp_y, bd, iqt);
