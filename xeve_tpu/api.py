@@ -112,6 +112,7 @@ class Encoder:
             tool_iqt=p.tool_iqt,
             tool_htdf=p.tool_htdf,
             tool_ats=p.tool_ats,
+            tool_addb=p.tool_addb,
         )
 
     def _make_pps(self) -> PPS:
@@ -432,7 +433,8 @@ class Encoder:
                                           cu_qp_delta_area=self.pps.cu_qp_delta_area,
                                           dquant_flag=self.sps.dquant_flag,
                                           tool_ats=p.tool_ats,
-                                          tool_htdf=p.tool_htdf)
+                                          tool_htdf=p.tool_htdf,
+                                          tool_addb=p.tool_addb)
         else:
             assert not p.aq_mode, \
                 "AQ requires the native Main intra pass (tool_htdf off)"
@@ -445,7 +447,8 @@ class Encoder:
                                     use_deblock=p.use_deblock,
                                     tool_iqt=p.tool_iqt,
                                     tool_htdf=p.tool_htdf,
-                                    tool_ats=p.tool_ats)
+                                    tool_ats=p.tool_ats,
+                                    tool_addb=p.tool_addb)
             rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
             slice_payload = sbac.finish()
             bin_count = sbac.bin_counter
@@ -582,7 +585,8 @@ class Encoder:
                                     cu_qp_delta_area=self.pps.cu_qp_delta_area,
                                     dquant_flag=self.sps.dquant_flag,
                                     tool_ats=p.tool_ats,
-                                    tool_htdf=p.tool_htdf)
+                                    tool_htdf=p.tool_htdf,
+                                    tool_addb=p.tool_addb)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
         assert aq_map is None, "AQ/dqp requires the native coder"
         assert (refp is None or len(refp) <= 1) and \

@@ -979,11 +979,26 @@ class BaselineIntraDecoder:
 
     # -- deblocking ---------------------------------------------------------
     def _deblock(self):
-        from ..ops.deblock_np import deblock_frame
         tidx = None
         if not self.pps.single_tile_in_pic_flag and \
                 not self.pps.loop_filter_across_tiles_enabled_flag:
             tidx = self.map_tidx
+        if self.sps.tool_addb:
+            from ..ops.addb_np import deblock_frame_addb
+            ref_pocs = ([p["poc"] for p in self.refp],
+                        [p["poc"] for p in self.refp1])
+            deblock_frame_addb(self.rec_y, self.rec_u, self.rec_v,
+                               self.leaf_cus, self.map_if, self.map_cbf_l,
+                               self.map_qp, self.map_refi, self.map_mv,
+                               ref_pocs,
+                               self.sh.qp_u_offset, self.sh.qp_v_offset,
+                               self.bd, self.sps.bit_depth_chroma_minus8,
+                               alpha_off=self.sh.sh_deblock_alpha_offset,
+                               beta_off=self.sh.sh_deblock_beta_offset,
+                               main_qp_table=self.sps.tool_iqt,
+                               map_tidx=tidx)
+            return
+        from ..ops.deblock_np import deblock_frame
         deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
                       self.map_if, self.map_cbf_l, self.map_qp,
                       self.sh.qp_u_offset, self.sh.qp_v_offset,

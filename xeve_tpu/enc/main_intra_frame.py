@@ -36,7 +36,7 @@ def _coef_bins(lev, nnz):
 class MainIntraFramePass:
     def __init__(self, w, h, bd, bd_chroma_minus8, qp, qp_u_off, qp_v_off,
                  use_rdoq=True, use_deblock=True, tool_iqt=1, tool_htdf=0,
-                 tool_ats=0):
+                 tool_ats=0, tool_addb=0):
         self.w, self.h, self.bd = w, h, bd
         self.bdc8 = bd_chroma_minus8
         self.qp = qp
@@ -44,6 +44,7 @@ class MainIntraFramePass:
         self.iqt = tool_iqt
         self.htdf = tool_htdf
         self.ats = tool_ats
+        self.addb = tool_addb
         self.qp_y = qp + 6 * (bd - 8)
         qpu_i = int(np.clip(qp + qp_u_off, -6 * bd_chroma_minus8, 57))
         qpv_i = int(np.clip(qp + qp_v_off, -6 * bd_chroma_minus8, 57))
@@ -85,10 +86,19 @@ class MainIntraFramePass:
         sbac.encode_bin_trm(1)
 
         if self.use_deblock:
-            deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
-                          self.map_if, self.map_cbf_l, self.map_qp,
-                          self.qp_u_off, self.qp_v_off, bd, self.bdc8,
-                          main_qp_table=self.iqt)
+            if self.addb:
+                from ..ops.addb_np import deblock_frame_addb
+                deblock_frame_addb(self.rec_y, self.rec_u, self.rec_v,
+                                   self.leaf_cus, self.map_if,
+                                   self.map_cbf_l, self.map_qp,
+                                   None, None, ([], []),
+                                   self.qp_u_off, self.qp_v_off, bd,
+                                   self.bdc8, main_qp_table=self.iqt)
+            else:
+                deblock_frame(self.rec_y, self.rec_u, self.rec_v,
+                              self.leaf_cus, self.map_if, self.map_cbf_l,
+                              self.map_qp, self.qp_u_off, self.qp_v_off,
+                              bd, self.bdc8, main_qp_table=self.iqt)
         return self.rec_y, self.rec_u, self.rec_v, self.leaf_cus
 
     # ------------------------------------------------------------------

@@ -26,7 +26,10 @@ class XtFrameCfg(ctypes.Structure):
                 ("cu_qp_delta_area", ctypes.c_int32),
                 ("dquant_flag", ctypes.c_int32),
                 ("tool_ats", ctypes.c_int32),
-                ("tool_htdf", ctypes.c_int32)]
+                ("tool_htdf", ctypes.c_int32),
+                ("tool_addb", ctypes.c_int32),
+                ("addb_alpha_off", ctypes.c_int32),
+                ("addb_beta_off", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):

@@ -641,6 +641,8 @@ typedef struct {
     int32_t dquant_flag;                    /* SPS dquant (group mode) */
     int32_t tool_ats;                       /* SPS ATS (DST7/DCT8) */
     int32_t tool_htdf;                      /* SPS HTDF in-loop filter */
+    int32_t tool_addb;                      /* SPS ADDB advanced deblock */
+    int32_t addb_alpha_off, addb_beta_off;  /* SH deblock offsets */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -2164,6 +2166,271 @@ static int xt_df_strength_idx(const XtFrame *f, int scu, int scu_n)
     return 2;
 }
 
+
+/* ------------------------------------------------------------------ */
+/* ADDB — advanced deblocking (Main profile; exact twin of             */
+/* ops/addb_np.py, itself bit-exact vs reference golden streams;       */
+/* xevem_df.c:70 get_bs, :252-420 line filters, tables xevem_tbl.c)    */
+/* ------------------------------------------------------------------ */
+
+static const uint8_t XT_ADDB_ALPHA[52] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,4,4,5,6,7,8,9,10,12,13,15,17,
+    20,22,25,28,32,36,40,45,50,56,63,71,80,90,101,113,127,144,162,182,
+    203,226,255,255};
+static const uint8_t XT_ADDB_BETA[52] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,2,2,2,3,3,3,3,4,4,4,6,6,7,7,8,8,
+    9,9,10,10,11,11,12,12,13,13,14,14,15,15,16,16,17,17,18,18};
+static const uint8_t XT_ADDB_CLIP[52][5] = {
+    {0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},
+    {0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},
+    {0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},{0,0,0,0,0},
+    {0,0,0,0,0},{0,0,0,0,0},{0,0,0,1,1},{0,0,0,1,1},{0,0,0,1,1},
+    {0,0,0,1,1},{0,0,1,1,1},{0,0,1,1,1},{0,1,1,1,1},{0,1,1,1,1},
+    {0,1,1,1,1},{0,1,1,1,1},{0,1,1,2,2},{0,1,1,2,2},{0,1,1,2,2},
+    {0,1,1,2,2},{0,1,2,3,3},{0,1,2,3,3},{0,2,2,3,3},{0,2,2,4,4},
+    {0,2,3,4,4},{0,2,3,4,4},{0,3,3,5,5},{0,3,4,6,6},{0,3,4,6,6},
+    {0,4,5,7,7},{0,4,5,8,8},{0,4,6,9,9},{0,5,7,10,10},{0,6,8,11,11},
+    {0,6,8,13,13},{0,7,10,14,14},{0,8,11,16,16},{0,9,12,18,18},
+    {0,10,13,20,20},{0,11,15,23,23},{0,13,17,25,25}};
+
+static int xt_addb_cmp_mvs(const int32_t *a, const int32_t *b)
+{
+    int dx = a[0] - b[0], dy = a[1] - b[1];
+    if (dx < 0) dx = -dx;
+    if (dy < 0) dy = -dy;
+    return dx < 4 && dy < 4;
+}
+
+static int xt_addb_bs(const XtFrame *f, int scu0, int x0, int y0,
+                      int scu1, int x1, int y1)
+{
+    if (f->map_if[scu0] || f->map_if[scu1]) {
+        int same = ((x0 >> 6) == (x1 >> 6)) && ((y0 >> 6) == (y1 >> 6));
+        return same ? 3 : 4;
+    }
+    if (f->map_cbf[scu0] || f->map_cbf[scu1]) return 2;
+    /* ref-picture comparison via poc (invalid refi -> none / zero mv) */
+    int p0[2] = {-1000000, -1000000}, p1[2] = {-1000000, -1000000};
+    int32_t m0[2][2] = {{0,0},{0,0}}, m1[2][2] = {{0,0},{0,0}};
+    for (int l = 0; l < 2; l++) {
+        int r = f->map_refi ? f->map_refi[scu0 * 2 + l] : -1;
+        const XtRefPic *lst = l == 0 ? f->refs0 : f->refs1;
+        int n = l == 0 ? f->n_ref0 : f->n_ref1;
+        if (r >= 0 && r < n) {
+            p0[l] = lst[r].poc;
+            m0[l][0] = f->map_mv[(scu0 * 2 + l) * 2 + 0];
+            m0[l][1] = f->map_mv[(scu0 * 2 + l) * 2 + 1];
+        }
+        r = f->map_refi ? f->map_refi[scu1 * 2 + l] : -1;
+        if (r >= 0 && r < n) {
+            p1[l] = lst[r].poc;
+            m1[l][0] = f->map_mv[(scu1 * 2 + l) * 2 + 0];
+            m1[l][1] = f->map_mv[(scu1 * 2 + l) * 2 + 1];
+        }
+    }
+    if ((p0[0] == p1[0] && p0[1] == p1[1]) ||
+        (p0[0] == p1[1] && p0[1] == p1[0])) {
+        int same;
+        if (p0[0] == p0[1])
+            same = xt_addb_cmp_mvs(m0[0], m1[0]) &&
+                   xt_addb_cmp_mvs(m0[1], m1[1]) &&
+                   xt_addb_cmp_mvs(m0[0], m1[1]) &&
+                   xt_addb_cmp_mvs(m0[1], m1[0]);
+        else if (p0[0] == p1[0] && p0[1] == p1[1])
+            same = xt_addb_cmp_mvs(m0[0], m1[0]) &&
+                   xt_addb_cmp_mvs(m0[1], m1[1]);
+        else
+            same = xt_addb_cmp_mvs(m0[0], m1[1]) &&
+                   xt_addb_cmp_mvs(m0[1], m1[0]);
+        return same ? 0 : 1;
+    }
+    return 1;
+}
+
+static void xt_addb_line_luma(uint16_t *buf, int step, int bs, int alpha,
+                              int beta, int c1, int bd)
+{
+    int32_t p[4], q[4], po[4], qo[4];
+    for (int i = 0; i < 4; i++) {
+        q[i] = buf[i * step];
+        p[i] = buf[-(i + 1) * step];
+    }
+    int d = p[0] - q[0]; if (d < 0) d = -d;
+    int d1v = p[1] - p[0]; if (d1v < 0) d1v = -d1v;
+    int d2v = q[1] - q[0]; if (d2v < 0) d2v = -d2v;
+    if (!(bs && d < alpha && d1v < beta && d2v < beta)) return;
+    memcpy(po, p, sizeof(po));
+    memcpy(qo, q, sizeof(qo));
+    int app = p[0] - p[2]; if (app < 0) app = -app;
+    int aqq = q[0] - q[2]; if (aqq < 0) aqq = -aqq;
+    int ap = app < beta, aq = aqq < beta;
+    if (bs == 4) {
+        int strong_ok = d < ((alpha >> 2) + 2);
+        if (ap && strong_ok) {
+            po[0] = (p[2] + 2 * (p[1] + p[0] + q[0]) + q[1] + 4) >> 3;
+            po[1] = (p[2] + p[1] + p[0] + q[0] + 2) >> 2;
+            po[2] = (2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3;
+        } else {
+            po[0] = (2 * p[1] + p[0] + q[1] + 2) >> 2;
+        }
+        if (aq && strong_ok) {
+            qo[0] = (q[2] + 2 * (q[1] + q[0] + p[0]) + p[1] + 4) >> 3;
+            qo[1] = (q[2] + q[1] + q[0] + p[0] + 2) >> 2;
+            qo[2] = (2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3;
+        } else {
+            qo[0] = (2 * q[1] + q[0] + p[1] + 2) >> 2;
+        }
+    } else {
+        int mx = (1 << bd) - 1;
+        int sh = bd - 9; if (sh < 0) sh = 0;
+        int c0 = c1 + ((ap + aq) << sh);
+        int d0 = (4 * (q[0] - p[0]) + p[1] - q[1] + 4) >> 3;
+        if (d0 < -c0) d0 = -c0;
+        if (d0 > c0) d0 = c0;
+        po[0] = p[0] + d0;
+        if (po[0] < 0) po[0] = 0; if (po[0] > mx) po[0] = mx;
+        qo[0] = q[0] - d0;
+        if (qo[0] < 0) qo[0] = 0; if (qo[0] > mx) qo[0] = mx;
+        if (ap) {
+            int dd = ((p[2] + p[0] + q[0]) * 3 - 8 * p[1] - q[1]) >> 4;
+            if (dd < -c1) dd = -c1;
+            if (dd > c1) dd = c1;
+            po[1] = p[1] + dd;
+        }
+        if (aq) {
+            int dd = ((q[2] + q[0] + p[0]) * 3 - 8 * q[1] - p[1]) >> 4;
+            if (dd < -c1) dd = -c1;
+            if (dd > c1) dd = c1;
+            qo[1] = q[1] + dd;
+        }
+    }
+    int mx = (1 << bd) - 1;
+    for (int i = 0; i < 4; i++) {
+        int32_t v = po[i];
+        if (v < 0) v = 0; if (v > mx) v = mx;
+        buf[-(i + 1) * step] = (uint16_t)v;
+        v = qo[i];
+        if (v < 0) v = 0; if (v > mx) v = mx;
+        buf[i * step] = (uint16_t)v;
+    }
+}
+
+static void xt_addb_line_chroma(uint16_t *buf, int step, int bs, int alpha,
+                                int beta, int c0, int bd)
+{
+    int32_t p[2], q[2], po[2], qo[2];
+    for (int i = 0; i < 2; i++) {
+        q[i] = buf[i * step];
+        p[i] = buf[-(i + 1) * step];
+    }
+    int d = p[0] - q[0]; if (d < 0) d = -d;
+    int d1v = p[1] - p[0]; if (d1v < 0) d1v = -d1v;
+    int d2v = q[1] - q[0]; if (d2v < 0) d2v = -d2v;
+    if (!(bs && d < alpha && d1v < beta && d2v < beta)) return;
+    po[0] = p[0]; po[1] = p[1]; qo[0] = q[0]; qo[1] = q[1];
+    int mx = (1 << bd) - 1;
+    if (bs == 4) {
+        po[0] = (2 * p[1] + p[0] + q[1] + 2) >> 2;
+        qo[0] = (2 * q[1] + q[0] + p[1] + 2) >> 2;
+    } else {
+        int d0 = (4 * (q[0] - p[0]) + p[1] - q[1] + 4) >> 3;
+        if (d0 < -c0) d0 = -c0;
+        if (d0 > c0) d0 = c0;
+        po[0] = p[0] + d0;
+        if (po[0] < 0) po[0] = 0; if (po[0] > mx) po[0] = mx;
+        qo[0] = q[0] - d0;
+        if (qo[0] < 0) qo[0] = 0; if (qo[0] > mx) qo[0] = mx;
+    }
+    for (int i = 0; i < 2; i++) {
+        int32_t v = po[i];
+        if (v < 0) v = 0; if (v > mx) v = mx;
+        buf[-(i + 1) * step] = (uint16_t)v;
+        v = qo[i];
+        if (v < 0) v = 0; if (v > mx) v = mx;
+        buf[i * step] = (uint16_t)v;
+    }
+}
+
+/* one 4-px edge segment at (sx, sy); hor=1 filters the top edge */
+static void xt_addb_segment(XtFrame *f, int sx, int sy, int hor)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int bd = cfg->bd, W = cfg->w, Wc = W >> 1;
+    int scu = (sy >> 2) * f->w_scu + (sx >> 2);
+    int nscu = hor ? scu - f->w_scu : scu - 1;
+    int x1 = hor ? sx : sx - 1;
+    int y1 = hor ? sy - 1 : sy;
+    int bs = xt_addb_bs(f, scu, sx, sy, nscu, x1, y1);
+    int qp0 = f->map_qp ? f->map_qp[scu] : cfg->qp;
+    int qp1 = f->map_qp ? f->map_qp[nscu] : cfg->qp;
+    int qp = (qp0 + qp1 + 1) >> 1;
+    int bsc = bd - 8;
+    int sh9 = bd - 9; if (sh9 < 0) sh9 = 0;
+    int ia = qp + cfg->addb_alpha_off;
+    if (ia < 0) ia = 0; if (ia > 51) ia = 51;
+    int ib = qp + cfg->addb_beta_off;
+    if (ib < 0) ib = 0; if (ib > 51) ib = 51;
+    int alpha = XT_ADDB_ALPHA[ia] << bsc;
+    int beta = XT_ADDB_BETA[ib] << bsc;
+    int c1 = XT_ADDB_CLIP[ia][bs] << sh9;
+    for (int k = 0; k < 4; k++) {
+        uint16_t *b = hor ? f->ry + sy * W + sx + k
+                          : f->ry + (sy + k) * W + sx;
+        xt_addb_line_luma(b, hor ? W : 1, bs, alpha, beta, c1, bd);
+    }
+    /* chroma */
+    int qpu_i = qp + cfg->qp_u_off;
+    int qpv_i = qp + cfg->qp_v_off;
+    int lo = -6 * (bd - 8);
+    if (qpu_i < lo) qpu_i = lo; if (qpu_i > 57) qpu_i = 57;
+    if (qpv_i < lo) qpv_i = lo; if (qpv_i > 57) qpv_i = 57;
+    int qc[2] = { xt_chroma_qp(qpu_i, cfg->tool_iqt),
+                  xt_chroma_qp(qpv_i, cfg->tool_iqt) };
+    uint16_t *planes[2] = { f->ru, f->rv };
+    for (int ch = 0; ch < 2; ch++) {
+        int iac = qc[ch] + cfg->addb_alpha_off;
+        if (iac < 0) iac = 0; if (iac > 51) iac = 51;
+        int ibc = qc[ch] + cfg->addb_beta_off;
+        if (ibc < 0) ibc = 0; if (ibc > 51) ibc = 51;
+        int alphac = XT_ADDB_ALPHA[iac] << bsc;
+        int betac = XT_ADDB_BETA[ibc] << bsc;
+        int c0 = (XT_ADDB_CLIP[iac][bs] + 1) << sh9;
+        for (int k = 0; k < 2; k++) {
+            uint16_t *b = hor ? planes[ch] + (sy >> 1) * Wc + (sx >> 1) + k
+                              : planes[ch] + ((sy >> 1) + k) * Wc + (sx >> 1);
+            xt_addb_line_chroma(b, hor ? Wc : 1, bs, alphac, betac, c0, bd);
+        }
+    }
+}
+
+static void xt_addb_deblock(XtFrame *f)
+{
+    /* vertical (left) edges of every leaf CU on the 8-grid, then
+     * horizontal (top) edges (xeve_enc.c:2363 is_hor order) */
+    for (int pass = 0; pass < 2; pass++)
+        for (int li = 0; li < f->n_leaf; li++) {
+            int x = f->leaf_x[li], y = f->leaf_y[li];
+            int n = 1 << f->leaf_lg[li];
+            if (pass == 0) {
+                if (x == 0 || (x % 8) != 0) continue;
+                if (f->map_tidx &&
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2) - 1])
+                    continue;
+                for (int i = 0; i < (n >> 2); i++)
+                    xt_addb_segment(f, x, y + 4 * i, 0);
+            } else {
+                if (y == 0 || (y % 8) != 0) continue;
+                if (f->map_tidx &&
+                    f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
+                    f->map_tidx[((y >> 2) - 1) * f->w_scu + (x >> 2)])
+                    continue;
+                for (int i = 0; i < (n >> 2); i++)
+                    xt_addb_segment(f, x + 4 * i, y, 1);
+            }
+        }
+}
+
 static void xt_deblock(XtFrame *f)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -3235,7 +3502,10 @@ XT_API int xt_encode_intra_frame(
     f.eff_qp = cfg->qp;
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
-    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
+    if (rc == 0 && cfg->use_deblock) {
+        if (cfg->tool_addb) xt_addb_deblock(&f);
+        else xt_deblock(&f);
+    }
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
@@ -3300,7 +3570,10 @@ XT_API int xt_encode_main_intra_frame(
     f.eff_qp = cfg->qp;
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
-    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
+    if (rc == 0 && cfg->use_deblock) {
+        if (cfg->tool_addb) xt_addb_deblock(&f);
+        else xt_deblock(&f);
+    }
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
@@ -3393,7 +3666,10 @@ XT_API int xt_encode_frame(
     f.w_v = pow(2.0, (f.qp_y - f.qp_v) / 3.0);
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
-    if (rc == 0 && cfg->use_deblock) xt_deblock(&f);
+    if (rc == 0 && cfg->use_deblock) {
+        if (cfg->tool_addb) xt_addb_deblock(&f);
+        else xt_deblock(&f);
+    }
 
     free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_skip); free(f.map_tidx); free(f.map_qp);

@@ -49,6 +49,7 @@ class EncoderParams:
     tool_iqt: int = -1
     tool_htdf: int = -1
     tool_ats: int = -1
+    tool_addb: int = -1
 
     def validate(self):
         assert self.w > 0 and self.h > 0
@@ -69,10 +70,12 @@ class EncoderParams:
             self.tool_htdf = 0          # HTDF encode lands separately
         if self.tool_ats < 0:
             self.tool_ats = 1 if is_main else 0   # xevem.c:1111 default
+        if self.tool_addb < 0:
+            self.tool_addb = 1 if is_main else 0
         if not is_main:
             assert not (self.tool_eipd or self.tool_cm_init or self.tool_adcc
                         or self.tool_iqt or self.tool_htdf
-                        or self.tool_ats), \
+                        or self.tool_ats or self.tool_addb), \
                 "Main tools require profile=1"
         if not self.tool_cm_init:
             assert not self.tool_adcc, "ADCC requires cm_init (SPS syntax)"
