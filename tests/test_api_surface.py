@@ -73,3 +73,21 @@ def test_stat_ra_tids():
         tids.append(enc.config_get("stat").tid)
     assert len(tids) == 18
     assert max(tids) >= 3 and tids[0] == 0    # hierarchical GOP visible
+
+
+def test_param_strings_and_config_file(tmp_path):
+    """3-level config completion (xeve_param_parse.c:275 typed kv +
+    app --config file)."""
+    from xeve_tpu.params import (EncoderParams, apply_param_strings,
+                                 params_from_config_file)
+    p = EncoderParams(w=96, h=80)
+    apply_param_strings(p, ["qp=27", "use_deblock=0", "fps = 24",
+                            "preset=slow  # comment"])
+    assert (p.qp, p.use_deblock, p.fps, p.preset) == (27, False, 24.0,
+                                                      "slow")
+    cfg = tmp_path / "enc.cfg"
+    cfg.write_text("# my config\nqp = 41\nref_pics = 2\n\naq_mode=1\n")
+    p2 = params_from_config_file(str(cfg), EncoderParams(w=96, h=80))
+    assert (p2.qp, p2.ref_pics, p2.aq_mode) == (41, 2, 1)
+    with pytest.raises(KeyError):
+        apply_param_strings(p, ["bogus=1"])

@@ -134,3 +134,39 @@ def params_from_kv(base: EncoderParams | None = None, **kv) -> EncoderParams:
             raise KeyError(f"unknown parameter {k}")
         setattr(p, k, v)
     return p
+
+
+def apply_param_strings(p: EncoderParams, items) -> EncoderParams:
+    """Typed key=value application (xeve_param_parse.c:275 analog): the
+    string value is converted to the field's current type.  `items` is an
+    iterable of "key=value" strings — CLI --set options or --config file
+    lines (comments with '#', blank lines skipped)."""
+    for raw in items:
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=" not in line:
+            raise ValueError(f"bad parameter syntax: {raw!r}")
+        k, v = (s.strip() for s in line.split("=", 1))
+        if not hasattr(p, k):
+            raise KeyError(f"unknown parameter {k}")
+        cur = getattr(p, k)
+        if isinstance(cur, bool):
+            val = v.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            val = int(v)
+        elif isinstance(cur, float):
+            val = float(v)
+        else:
+            val = v
+        setattr(p, k, val)
+    return p
+
+
+def params_from_config_file(path: str,
+                            base: EncoderParams | None = None
+                            ) -> EncoderParams:
+    """--config file support (app/xeve_app_args.h:839 analog): one
+    key=value per line, '#' comments."""
+    with open(path) as f:
+        return apply_param_strings(base or EncoderParams(), f)

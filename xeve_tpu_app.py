@@ -43,6 +43,13 @@ def main():
                     choices=(0, 1, 2),
                     help="adaptive quantization (1: variance AQ, "
                          "2: AQ + cutree-lite)")
+    ap.add_argument("--config", default=None,
+                    help="config file, one key=value per line "
+                         "('#' comments); applied before --set")
+    ap.add_argument("--set", action="append", default=[], dest="kv",
+                    metavar="KEY=VALUE",
+                    help="set any EncoderParams field by name "
+                         "(xeve_param_parse analog; repeatable)")
     ap.add_argument("--preset", default="medium",
                     choices=("fast", "medium", "slow", "placebo"))
     ap.add_argument("--tune", default="", choices=("", "zerolatency", "psnr"))
@@ -89,7 +96,13 @@ def main():
         bitrate_kbps=args.bitrate, crf=args.crf,
         use_deblock=not args.no_deblock, rdoq=not args.no_rdoq,
         use_pic_sign=args.hash, codec_bit_depth=args.codec_bd)
-    cls = GopEncoder if args.bframes >= 15 else Encoder
+    if args.config or args.kv:
+        from xeve_tpu.params import apply_param_strings
+        if args.config:
+            with open(args.config) as cf:
+                apply_param_strings(params, cf)
+        apply_param_strings(params, args.kv)
+    cls = GopEncoder if params.bframes >= 15 else Encoder
     enc = cls(params, analysis=analysis, coder=args.coder)
 
     fo = open(args.output, "wb") if args.output else None
