@@ -74,3 +74,21 @@ def test_addb_roundtrip(bf, ki):
         assert np.array_equal(d.y, rec[0])
         assert np.array_equal(d.u, rec[1])
         assert np.array_equal(d.v, rec[2])
+
+
+def test_golden_full_default_toolset_ra():
+    """One reference stream with OUR entire default Main toolset enabled at
+    once (eipd+cm_init+adcc+iqt+ats+addb+htdf, RA hierarchical-B) decodes
+    bit-exactly — combined-tool conformance, not just per-tool."""
+    bs = open(os.path.join(DATA, "s96_fullset_ra.evc"), "rb").read()
+    dec = BaselineIntraDecoder()
+    frames = sorted(dec.decode(bs), key=lambda f: f.poc)
+    assert (dec.sps.tool_eipd, dec.sps.tool_adcc, dec.sps.tool_ats,
+            dec.sps.tool_addb, dec.sps.tool_htdf) == (1, 1, 1, 1, 1)
+    rec = np.fromfile(os.path.join(DATA, "s96_fullset_ra_rec.yuv"),
+                      dtype="<u2")
+    n = len(rec) // FSZ
+    assert len(frames) == n
+    for i, f in enumerate(frames):
+        r = rec[i * FSZ:(i + 1) * FSZ]
+        assert np.array_equal(f.y, r[:W * H].reshape(H, W)), f"frame {i}"

@@ -790,16 +790,25 @@ class BaselineIntraDecoder:
         return out
 
     def _avail_intra_flags(self, x_scu, y_scu, scuw, scuh) -> dict:
-        """xeve_get_avail_intra (xeve_util.c:719) as a flag dict."""
+        """xeve_get_avail_intra (xeve_util.c:719) as a flag dict.  The
+        coded-map gating confines le/ri/diagonals to the current tile (the
+        map is reset per tile); `up` crosses CTU rows unconditionally in a
+        single tile but must stop at a tile boundary (map_tidx gate,
+        xeve_util.c:736)."""
         cod = self.map_cod
         w_scu, h_scu = self.w_scu, self.h_scu
+        up = y_scu > 0
+        if up and getattr(self, "map_tidx", None) is not None and \
+                not self.pps.single_tile_in_pic_flag:
+            up = (self.map_tidx[y_scu, x_scu] ==
+                  self.map_tidx[y_scu - 1, x_scu])
         le = x_scu > 0 and cod[y_scu, x_scu - 1]
         ri = x_scu + scuw < w_scu and cod[y_scu, x_scu + scuw]
         diag = y_scu + scuh + scuw - 1 < h_scu
         return {
             "le": le,
             "ri": ri,
-            "up": y_scu > 0,
+            "up": bool(up),
             "up_le": x_scu > 0 and y_scu > 0 and cod[y_scu - 1, x_scu - 1],
             "up_ri": (y_scu > 0 and x_scu + scuw < w_scu and
                       cod[y_scu - 1, x_scu + scuw]),

@@ -1663,7 +1663,13 @@ static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
     int w_scu = f->w_scu, h_scu = f->h_scu;
     int le = x_scu > 0 && cod[y_scu * w_scu + x_scu - 1];
     int ri = x_scu + scuw < w_scu && cod[y_scu * w_scu + x_scu + scuw];
-    int up = y_scu > 0;
+    /* `up` must stop at a tile boundary (map_tidx gate, xeve_util.c:736)
+     * — also keeps the threaded tile workers from racing on another
+     * tile's in-flight recon rows */
+    int up = y_scu > 0 &&
+        (!f->map_tidx ||
+         f->map_tidx[y_scu * w_scu + x_scu] ==
+         f->map_tidx[(y_scu - 1) * w_scu + x_scu]);
     int up_le = x_scu > 0 && y_scu > 0 &&
         cod[(y_scu - 1) * w_scu + x_scu - 1];
     int up_ri = y_scu > 0 && x_scu + scuw < w_scu &&

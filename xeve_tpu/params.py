@@ -67,7 +67,7 @@ class EncoderParams:
         if self.tool_iqt < 0:
             self.tool_iqt = 1 if is_main else 0
         if self.tool_htdf < 0:
-            self.tool_htdf = 0          # HTDF encode lands separately
+            self.tool_htdf = 1 if is_main else 0  # xevem.c:1150 default
         if self.tool_ats < 0:
             self.tool_ats = 1 if is_main else 0   # xevem.c:1111 default
         if self.tool_addb < 0:
