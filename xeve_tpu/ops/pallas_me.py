@@ -7,6 +7,16 @@ with a static unrolled loop over dx (lane slices must be static on TPU);
 per-block SAD reduction is a matmul with a constant 0/1 block-summing
 matrix (MXU).  The numpy twin (enc/analysis_inter_np.integer_me) is the
 exact oracle; enc/me_jax.py is the pure-XLA fallback.
+
+Why the PRODUCTION fused analyzer uses the XLA path instead (measured on
+TPU v5 lite, 1080p, R=16, 2026-08-21): the XLA scan ME runs in 0.5 ms
+device-resident inside the fused per-frame graph, while this standalone
+kernel's host-numpy API costs 1192 ms/call through the remote-TPU tunnel
+(transfer-bound: ~25 MB of planes per call).  XLA already keeps the SAD
+sweep on the MXU; the Pallas kernel would only pay off if embedded in the
+fused graph AND the gather-heavy window sweep beat XLA's fusion, which
+the measurement says it does not.  Kept as a tested kernel-authoring
+reference (exact vs the numpy oracle) reachable via me_engine="pallas".
 """
 from __future__ import annotations
 
