@@ -1229,6 +1229,97 @@ static void xt_mc_bi(const XtFrame *f, int x, int y, int s,
     }
 }
 
+
+/* plane-split MC + SSD for lazy-chroma candidate evaluation: chroma MC
+ * runs only for candidates whose luma SSD lower bound already beats the
+ * incumbent (decision-identical: the bound is exact and double rounding
+ * is monotone, so a skipped candidate could never have won) */
+static void xt_mc_cu_y(const XtFrame *f, const XtRefPic *ref, int x, int y,
+                       int s, int mvx, int mvy, int32_t *py)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int pad = f->pad_l;
+    xt_mv_clip(x, y, cfg->w, cfg->h, s, s, &mvx, &mvy);
+    int gx = ((x << 2) + mvx) << 2;
+    int gy = ((y << 2) + mvy) << 2;
+    xt_mc_luma(ref->y, cfg->w + 2 * pad, pad, gx, gy, s, s, cfg->bd, py);
+}
+
+static void xt_mc_cu_c(const XtFrame *f, const XtRefPic *ref, int x, int y,
+                       int s, int mvx, int mvy, int32_t *pu, int32_t *pv)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int pad = f->pad_l, padc = pad >> 1;
+    xt_mv_clip(x, y, cfg->w, cfg->h, s, s, &mvx, &mvy);
+    int gx = ((x << 2) + mvx) << 2;
+    int gy = ((y << 2) + mvy) << 2;
+    int stride_c = (cfg->w >> 1) + 2 * padc;
+    xt_mc_chroma(ref->u, stride_c, padc, gx, gy, s >> 1, s >> 1, cfg->bd, pu);
+    xt_mc_chroma(ref->v, stride_c, padc, gx, gy, s >> 1, s >> 1, cfg->bd, pv);
+}
+
+/* returns 1 when the identical-motion shortcut applied (chroma must then
+ * also take the single-ref path) */
+static int xt_mc_bi_y(const XtFrame *f, int x, int y, int s,
+                      int mv0x, int mv0y, int mv1x, int mv1y,
+                      int32_t *py, int32_t *ty)
+{
+    int c0x = mv0x, c0y = mv0y, c1x = mv1x, c1y = mv1y;
+    xt_mv_clip(x, y, f->cfg->w, f->cfg->h, s, s, &c0x, &c0y);
+    xt_mv_clip(x, y, f->cfg->w, f->cfg->h, s, s, &c1x, &c1y);
+    xt_mc_cu_y(f, f->ref0, x, y, s, mv0x, mv0y, py);
+    if (f->ref0->poc == f->ref1->poc && c0x == c1x && c0y == c1y) return 1;
+    xt_mc_cu_y(f, f->ref1, x, y, s, mv1x, mv1y, ty);
+    int n = s * s;
+    for (int i = 0; i < n; i++) py[i] = (py[i] + ty[i] + 1) >> 1;
+    return 0;
+}
+
+static void xt_mc_bi_c(const XtFrame *f, int x, int y, int s,
+                       int mv0x, int mv0y, int mv1x, int mv1y,
+                       int32_t *pu, int32_t *pv, int32_t *tu, int32_t *tv,
+                       int single)
+{
+    xt_mc_cu_c(f, f->ref0, x, y, s, mv0x, mv0y, pu, pv);
+    if (single) return;
+    xt_mc_cu_c(f, f->ref1, x, y, s, mv1x, mv1y, tu, tv);
+    int nc = (s >> 1) * (s >> 1);
+    for (int i = 0; i < nc; i++) {
+        pu[i] = (pu[i] + tu[i] + 1) >> 1;
+        pv[i] = (pv[i] + tv[i] + 1) >> 1;
+    }
+}
+
+static int64_t xt_ssd_y(const XtFrame *f, int x, int y, int s,
+                        const int32_t *py)
+{
+    int W = f->cfg->w;
+    int64_t dl = 0;
+    for (int i = 0; i < s; i++)
+        for (int j = 0; j < s; j++) {
+            int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - py[i * s + j];
+            dl += d * d;
+        }
+    return dl;
+}
+
+static void xt_ssd_c(const XtFrame *f, int x, int y, int s,
+                     const int32_t *pu, const int32_t *pv,
+                     int64_t *du_out, int64_t *dv_out)
+{
+    int Wc = f->cfg->w >> 1, xc = x >> 1, yc = y >> 1, sc = s >> 1;
+    int64_t du = 0, dv = 0;
+    for (int i = 0; i < sc; i++)
+        for (int j = 0; j < sc; j++) {
+            int64_t d = (int64_t)f->ou[(yc + i) * Wc + xc + j] - pu[i * sc + j];
+            du += d * d;
+            d = (int64_t)f->ov[(yc + i) * Wc + xc + j] - pv[i * sc + j];
+            dv += d * d;
+        }
+    *du_out = du;
+    *dv_out = dv;
+}
+
 /* Baseline MVP list (ops/motion_np.py; xeve_get_motion xeve_util.c:527) */
 static void xt_get_mvp(const XtFrame *f, int x_scu, int y_scu, int scuw,
                        int lidx, int32_t mvp[4][2])
@@ -1788,15 +1879,28 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         seen0[n_seen][0] = mv0x; seen0[n_seen][1] = mv0y;
         seen1[n_seen][0] = mv1x; seen1[n_seen][1] = mv1y;
         n_seen++;
+        int single = 0;
         if (is_b)
-            xt_mc_bi(f, x, y, s, mv0x, mv0y, mv1x, mv1y,
-                     wk->c1_py, wk->c1_pu, wk->c1_pv,
-                     wk->c2_py, wk->c2_pu, wk->c2_pv);
+            single = xt_mc_bi_y(f, x, y, s, mv0x, mv0y, mv1x, mv1y,
+                                wk->c1_py, wk->c2_py);
         else
-            xt_mc_cu(f, f->ref0, x, y, s, mv0x, mv0y,
-                     wk->c1_py, wk->c1_pu, wk->c1_pv);
-        double cost = xt_wssd(f, x, y, s, wk->c1_py, wk->c1_pu, wk->c1_pv)
-                    + lam * (double)(is_b ? (2 + 2 * idx) : (2 + idx));
+            xt_mc_cu_y(f, f->ref0, x, y, s, mv0x, mv0y, wk->c1_py);
+        int64_t dl = xt_ssd_y(f, x, y, s, wk->c1_py);
+        double extra = lam * (double)(is_b ? (2 + 2 * idx) : (2 + idx));
+        if (have_skip && !((double)dl + extra < skip_cost))
+            continue;                 /* luma bound alone already loses */
+        if (is_b)
+            xt_mc_bi_c(f, x, y, s, mv0x, mv0y, mv1x, mv1y,
+                       wk->c1_pu, wk->c1_pv, wk->c2_pu, wk->c2_pv, single);
+        else
+            xt_mc_cu_c(f, f->ref0, x, y, s, mv0x, mv0y,
+                       wk->c1_pu, wk->c1_pv);
+        int64_t du, dv;
+        xt_ssd_c(f, x, y, s, wk->c1_pu, wk->c1_pv, &du, &dv);
+        double r = (double)dl;
+        r += f->w_u * (double)du;
+        r += f->w_v * (double)dv;
+        double cost = r + extra;
         if (!have_skip || cost < skip_cost) {
             have_skip = 1;
             skip_cost = cost;
@@ -1912,17 +2016,35 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     double best_pred_ssd = 0;
     for (int v = 0; v < n_var; v++) {
         const XtInterVar *cv = &vars[v];
+        int single = 0;
         if (cv->dir == 0)
-            xt_mc_cu(f, &f->refs0[cv->r0], x, y, s, cv->mv0[0], cv->mv0[1],
-                     wk->c1_py, wk->c1_pu, wk->c1_pv);
+            xt_mc_cu_y(f, &f->refs0[cv->r0], x, y, s, cv->mv0[0],
+                       cv->mv0[1], wk->c1_py);
         else if (cv->dir == 1)
-            xt_mc_cu(f, &f->refs1[cv->r1], x, y, s, cv->mv1[0], cv->mv1[1],
-                     wk->c1_py, wk->c1_pu, wk->c1_pv);
+            xt_mc_cu_y(f, &f->refs1[cv->r1], x, y, s, cv->mv1[0],
+                       cv->mv1[1], wk->c1_py);
         else
-            xt_mc_bi(f, x, y, s, cv->mv0[0], cv->mv0[1], cv->mv1[0],
-                     cv->mv1[1], wk->c1_py, wk->c1_pu, wk->c1_pv,
-                     wk->c2_py, wk->c2_pu, wk->c2_pv);
-        double pssd = xt_wssd(f, x, y, s, wk->c1_py, wk->c1_pu, wk->c1_pv);
+            single = xt_mc_bi_y(f, x, y, s, cv->mv0[0], cv->mv0[1],
+                                cv->mv1[0], cv->mv1[1], wk->c1_py,
+                                wk->c2_py);
+        int64_t dl = xt_ssd_y(f, x, y, s, wk->c1_py);
+        if (v > 0 && !((double)dl < best_pred_ssd))
+            continue;                 /* luma bound alone already loses */
+        if (cv->dir == 0)
+            xt_mc_cu_c(f, &f->refs0[cv->r0], x, y, s, cv->mv0[0],
+                       cv->mv0[1], wk->c1_pu, wk->c1_pv);
+        else if (cv->dir == 1)
+            xt_mc_cu_c(f, &f->refs1[cv->r1], x, y, s, cv->mv1[0],
+                       cv->mv1[1], wk->c1_pu, wk->c1_pv);
+        else
+            xt_mc_bi_c(f, x, y, s, cv->mv0[0], cv->mv0[1], cv->mv1[0],
+                       cv->mv1[1], wk->c1_pu, wk->c1_pv, wk->c2_pu,
+                       wk->c2_pv, single);
+        int64_t du, dv;
+        xt_ssd_c(f, x, y, s, wk->c1_pu, wk->c1_pv, &du, &dv);
+        double pssd = (double)dl;
+        pssd += f->w_u * (double)du;
+        pssd += f->w_v * (double)dv;
         if (v == 0 || pssd < best_pred_ssd) {
             best_var = v;
             best_pred_ssd = pssd;
