@@ -325,7 +325,12 @@ class DeviceAnalyzer:
                  ref1_poc: int | None = None,
                  ref0b_poc: int | None = None,
                  ref1b_poc: int | None = None,
-                 bi_refine: bool = True) -> _Handle:
+                 bi_refine: bool = False) -> _Handle:
+        """bi_refine is opt-in: the joint refinement adds a second full
+        device pass worth of gathers (~1.5 s at 1080p on the measured
+        remote TPU, doubling B-frame analysis) for a marginal BD gain —
+        the closed-loop pass already evaluates the unrefined bi
+        candidate."""
         y, u, v = self.ring[poc]
         kind = "I" if ref_poc is None else (
             "B" if (ref1_poc is not None and ref1_poc != ref_poc) else "P")
