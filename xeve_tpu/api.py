@@ -1096,7 +1096,7 @@ class GopEncoder(Encoder):
                                        self.p.w_aligned, dev.min_log2,
                                        dev.max_log2,
                                        planes=(True, False, True, False,
-                                               False))
+                                               True))
         for (poc, tid, is_ref) in order:
             an = dev.collect(handles[poc])
             bs, rec = self._encode_ra_frame(poc, tid, poc - base, is_ref,

@@ -33,13 +33,16 @@ import jax
 import jax.numpy as jnp
 
 from .analysis_jax import _level_cost_impl, level_params
-from .analysis_inter_jax import (_phase_planes, _gather_blocks, _cur_blocks,
-                                 _subpel_refine, _mvd_bits)
-from .me_jax import _me_int_jit
+from .analysis_inter_jax import _cur_blocks, _mvd_bits
 from .analysis_inter_np import InterAnalysisResult, ME_BLK_LOG2
 from .analysis_np import corrected_leaf, AnalysisResult
+from . import winmc_jax as wm
 
 PAD = 64 + 16   # matches api.py DPB padding (PIC_PAD_SIZE_L)
+
+# large-CU re-search candidate offsets (qpel) around the children median,
+# per axis (xeve_pinter.c:906 per-CU refinement analog)
+RESEARCH_OFFS = (-4, -2, -1, 0, 1, 2, 4)
 
 
 def _ceil_div(a, b):
@@ -79,54 +82,164 @@ def _mv_for_level_np(mv16c, lg, nby, nbx):
 # ---------------------------------------------------------------------------
 
 
-def _me_mv16c(y_i32, ref_y_pad, R, pad, h, w, bd):
-    """Dense full-search + quarter-pel refinement against a padded original
-    reference; returns the 16x16 qpel MV field edge-padded to the ceil grid
-    plus the phase planes (reused by the cost stage)."""
+def _boxsum(plane, s):
+    h, w = plane.shape
+    nby, nbx = h // s, w // s
+    return plane[:nby * s, :nbx * s].reshape(nby, s, nbx, s).sum(axis=(1, 3))
+
+
+def _assemble(blocks):
+    """(nby, nbx, s, s) -> (nby*s, nbx*s) plane."""
+    nby, nbx, s, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * s, nbx * s)
+
+
+def _pad_to(plane, h, w):
+    ph, pw = h - plane.shape[0], w - plane.shape[1]
+    if ph or pw:
+        plane = jnp.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _ref_luma(y_i32, ref_y16, pad, bd, h, w):
+    """Coarse quarter-res ME + exhaustive +-8 qpel window refinement for
+    one reference (winmc_jax pipeline, zero gathers).  Returns (mv16c
+    ceil-grid qpel MV field, vw phase windows, sq16 squared-diff blocks,
+    pred16 winning predictions, ry_pad padded int32 ref, m coarse int
+    MVs)."""
     nby16, nbx16 = h // 16, w // 16
     hc, wc = nby16 * 16, nbx16 * 16
-    refc = jax.lax.dynamic_slice(
-        ref_y_pad, (0, 0), (2 * pad + hc, 2 * pad + wc)).astype(jnp.float32)
-    int_mv, _ = _me_int_jit(y_i32[:hc, :wc].astype(jnp.float32), refc, R, pad)
-    planes = _phase_planes(ref_y_pad, bd)
+    ry_pad = jnp.pad(ref_y16.astype(jnp.int32), pad, mode="edge")
+    m = wm.coarse_me(y_i32[:hc, :wc].astype(jnp.float32),
+                     ry_pad.astype(jnp.float32), pad, nby16, nbx16)
+    P16 = wm.build_patches(ry_pad, 16, 5, 32, nby16, nbx16, pad)
+    W32 = wm.onehot_extract(P16, m[..., 1] + 25, m[..., 0] + 25,
+                            32, 32).astype(jnp.int32)
+    vw = wm.phase_windows(W32, bd)
     cur16 = _cur_blocks(y_i32, 16)
-    mv16 = _subpel_refine(cur16, planes, int_mv, pad)
+    q, _sad, sq16, pred16 = wm.eval_qpel(cur16, vw)
+    mv16 = 4 * m + q
     py = _ceil_div(h, 16) - nby16
     px = _ceil_div(w, 16) - nbx16
     mv16c = jnp.pad(mv16, ((0, py), (0, px), (0, 0)), mode="edge")
-    return mv16c, planes
+    return mv16c, vw, sq16, pred16, ry_pad, m
 
 
-def _inter_level_costs(y_i32, u_i32, v_i32, planes, ref_u_pad, ref_v_pad,
-                       mv16c, prm3, pad, min_log2, max_log2, h, w):
-    """Per-level inter cost maps from the phase planes (same cost model as
-    analysis_inter_jax._inter_costs_jit)."""
+def _chroma_pred8(ref_c16, mvc, pad_c, nby, nbx):
+    """Nearest-pel 8x8 chroma predictions at per-block integer chroma MVs
+    via patch extraction (analysis heuristic; the coding pass recomputes
+    exact chroma MC)."""
+    rc_pad = jnp.pad(ref_c16.astype(jnp.int32), pad_c, mode="edge")
+    Pc = wm.build_patches(rc_pad, 8, 5, 16, nby, nbx, pad_c)
+    return wm.onehot_extract(Pc, mvc[..., 1] + 16, mvc[..., 0] + 16,
+                             8, 8).astype(jnp.int32)
+
+
+def _research_level(y_i32, ry_pad, mv16c, lg, bd, pad, h, w):
+    """Large-CU MV re-search: evaluate RESEARCH_OFFS^2 qpel offsets around
+    the children-median MV with per-block-tap MC, per CU.  Returns
+    (mv_l researched (nby,nbx,2), dY best luma SSD (nby,nbx))."""
+    s = 1 << lg
+    nby, nbx = h // s, w // s
+    mv_med = jnp.clip(_mv_for_level_dev(mv16c, lg, nby, nbx), -92, 92)
+    bv = mv_med >> 2
+    phi = mv_med & 3
+    k = {5: 3, 6: 2}[lg]
+    P = wm.build_patches(ry_pad, s, k, 32, nby, nbx, pad)
+    Wext = wm.onehot_extract(P, bv[..., 1] + 27, bv[..., 0] + 27,
+                             s + 12, s + 12).astype(jnp.int32)
+    cur = _cur_blocks(y_i32, s)[:nby, :nbx]
+    offs = jnp.asarray(np.array(
+        [(dx, dy) for dy in RESEARCH_OFFS for dx in RESEARCH_OFFS
+         if not (dx == 0 and dy == 0)], np.int32))
+
+    # zero offset first (tie-favored), then scan the rest
+    pred0 = wm.perblock_mc(Wext, phi[..., 0], phi[..., 1], s, bd)
+    best_d = ((cur - pred0) ** 2).sum(axis=(-1, -2))
+    best_off = jnp.zeros((nby, nbx, 2), jnp.int32)
+
+    def step(carry, off):
+        best_d, best_off = carry
+        pred = wm.perblock_mc(Wext, phi[..., 0] + off[0],
+                              phi[..., 1] + off[1], s, bd)
+        d = ((cur - pred) ** 2).sum(axis=(-1, -2))
+        upd = d < best_d
+        best_d = jnp.where(upd, d, best_d)
+        best_off = jnp.where(upd[..., None], off, best_off)
+        return (best_d, best_off), None
+
+    (best_d, best_off), _ = jax.lax.scan(step, (best_d, best_off), offs)
+    return mv_med + best_off, best_d
+
+
+def _chroma_ssd_level(u_i32, v_i32, ru_pad, rv_pad, mv_l, lg, pad_c, h, w):
+    """Nearest-pel chroma SSD for one large-CU level at the (researched)
+    MVs, via per-level chroma patches."""
+    s = 1 << lg
+    sc = s >> 1
+    nby, nbx = h // s, w // s
+    mvc = (mv_l + 4) >> 3
+    k = {5: 3, 6: 2}[lg]
+    Pu = wm.build_patches(ru_pad, sc, k, 16, nby, nbx, pad_c)
+    Pv = wm.build_patches(rv_pad, sc, k, 16, nby, nbx, pad_c)
+    gu = wm.onehot_extract(Pu, mvc[..., 1] + 16, mvc[..., 0] + 16,
+                           sc, sc).astype(jnp.int32)
+    gv = wm.onehot_extract(Pv, mvc[..., 1] + 16, mvc[..., 0] + 16,
+                           sc, sc).astype(jnp.int32)
+    cu = _cur_blocks(u_i32, sc)[:nby, :nbx]
+    cv = _cur_blocks(v_i32, sc)[:nby, :nbx]
+    du = ((cu - gu) ** 2).sum(axis=(-1, -2)).astype(jnp.float32)
+    dv = ((cv - gv) ** 2).sum(axis=(-1, -2)).astype(jnp.float32)
+    return du, dv
+
+
+def _inter_costs_v2(y_i32, u_i32, v_i32, ref0, mv16c, sq16, ry_pad, prm3,
+                    pad, min_log2, max_log2, h, w, bd):
+    """Per-level inter cost maps (same cost model as round 3) built from
+    diff-plane box sums (levels <= 4, children MVs == their 16x16 parent)
+    and per-CU re-searched MVs (levels 5/6).  Returns (costs dict,
+    researched dict lg -> (nby,nbx,2))."""
     lam, w_u, w_v = prm3[0], prm3[1], prm3[2]
-    costs = {}
+    nby16, nbx16 = h // 16, w // 16
+    pad_c = pad // 2
+    mv16f = mv16c[:nby16, :nbx16]
+    mvc8 = (mv16f + 4) >> 3
+    gu8 = _chroma_pred8(ref0[1], mvc8, pad_c, nby16, nbx16)
+    gv8 = _chroma_pred8(ref0[2], mvc8, pad_c, nby16, nbx16)
+    cu8 = _cur_blocks(u_i32, 8)[:nby16, :nbx16]
+    cv8 = _cur_blocks(v_i32, 8)[:nby16, :nbx16]
+    sqY = _pad_to(_assemble(sq16), h, w).astype(jnp.float32)
+    sqU = _pad_to(_assemble((cu8 - gu8) ** 2), h // 2, w // 2) \
+        .astype(jnp.float32)
+    sqV = _pad_to(_assemble((cv8 - gv8) ** 2), h // 2, w // 2) \
+        .astype(jnp.float32)
+
+    ru_pad = jnp.pad(ref0[1].astype(jnp.int32), pad_c, mode="edge")
+    rv_pad = jnp.pad(ref0[2].astype(jnp.int32), pad_c, mode="edge")
+
+    costs, researched = {}, {}
     for lg in range(min_log2, max_log2 + 1):
         s = 1 << lg
         nby, nbx = h // s, w // s
-        mv_l = _mv_for_level_dev(mv16c, lg, nby, nbx)
-        g = _gather_blocks(planes, mv_l, s, pad, nby, nbx)
-        cb = _cur_blocks(y_i32, s)[:nby, :nbx]
-        d = ((cb - g) ** 2).sum(axis=(-1, -2)).astype(jnp.float32)
-        sc = s >> 1
-        ivc = (mv_l + 4) >> 3
-        mvc = ivc << 2
-        gu = _gather_blocks(ref_u_pad.astype(jnp.int16)[None], mvc, sc,
-                            pad // 2, nby, nbx)
-        gv = _gather_blocks(ref_v_pad.astype(jnp.int16)[None], mvc, sc,
-                            pad // 2, nby, nbx)
-        cu = _cur_blocks(u_i32, sc)[:nby, :nbx]
-        cv = _cur_blocks(v_i32, sc)[:nby, :nbx]
-        du = ((cu - gu) ** 2).sum(axis=(-1, -2)).astype(jnp.float32)
-        dv = ((cv - gv) ** 2).sum(axis=(-1, -2)).astype(jnp.float32)
-        dall = d + w_u * du + w_v * dv
+        if nby == 0 or nbx == 0:
+            costs[lg] = jnp.full((nby, nbx), jnp.inf, jnp.float32)
+            continue
+        if lg <= 4:
+            dall = (_boxsum(sqY, s) + w_u * _boxsum(sqU, s >> 1)
+                    + w_v * _boxsum(sqV, s >> 1))
+            mv_l = _mv_for_level_dev(mv16c, lg, nby, nbx)
+        else:
+            mv_l, dY = _research_level(y_i32, ry_pad, mv16c, lg, bd=bd,
+                                       pad=pad, h=h, w=w)
+            du, dv = _chroma_ssd_level(u_i32, v_i32, ru_pad, rv_pad, mv_l,
+                                       lg, pad_c, h, w)
+            dall = dY.astype(jnp.float32) + w_u * du + w_v * dv
+            researched[lg] = mv_l
         bits = 8.0 + _mvd_bits(mv_l).astype(jnp.float32)
         costs[lg] = jnp.minimum(
             dall + lam * 4.0,
             0.35 * dall + lam * (bits + 0.02 * jnp.sqrt(dall) * s))
-    return costs
+    return costs, researched
 
 
 def _partition_dp_dev(leaf_cost, lam, h, w, min_log2, max_log2):
@@ -147,42 +260,6 @@ def _partition_dp_dev(leaf_cost, lam, h, w, min_log2, max_log2):
     return split
 
 
-def _bi_refine(y_i32, planes0, planes1, mv0c, mv1c, pad, h, w, R):
-    """Joint bi-prediction refinement of the L1 MV plane given the L0 plane
-    (analyze_bi analog, xeve_pinter.c:1567): minimize |2*cur − pred0 −
-    pred1(mv1+d)| over a coarse-then-fine qpel offset grid.  Returns the
-    refined 16x16 L1 MV plane (ceil grid)."""
-    nby, nbx = h // 16, w // 16
-    cur = _cur_blocks(y_i32, 16)[:nby, :nbx].astype(jnp.float32)
-    mv0 = mv0c[:nby, :nbx]
-    mv1 = mv1c[:nby, :nbx]
-    p0 = _gather_blocks(planes0, mv0, 16, pad, nby, nbx).astype(jnp.float32)
-    tgt = 2.0 * cur - p0
-    lim = 4 * (R + 2)
-
-    def refine_pass(mv_cur, offs):
-        cands, costs = [], []
-        for dy in offs:
-            for dx in offs:
-                cand = jnp.clip(mv_cur + jnp.array([dx, dy], jnp.int32),
-                                -lim, lim)
-                p1 = _gather_blocks(planes1, cand, 16, pad, nby,
-                                    nbx).astype(jnp.float32)
-                cands.append(cand)
-                costs.append(((tgt - p1) ** 2).sum(axis=(-1, -2)))
-        cost = jnp.stack(costs)                     # (n_cand, nby, nbx)
-        best = jnp.argmin(cost, axis=0)             # (nby, nbx)
-        cand = jnp.stack(cands)                     # (n_cand, nby, nbx, 2)
-        return jnp.take_along_axis(
-            cand, best[None, :, :, None], axis=0)[0]
-
-    mv_r = refine_pass(mv1, (-8, -4, 0, 4, 8))
-    mv_r = refine_pass(mv_r, (-2, -1, 0, 1, 2))
-    py = _ceil_div(h, 16) - nby
-    px = _ceil_div(w, 16) - nbx
-    return jnp.pad(mv_r, ((0, py), (0, px), (0, 0)), mode="edge")
-
-
 def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
                 bd, R, pad, min_log2, max_log2, refine):
     """refs: (y16,u16,v16) originals or None — ref0/ref0b are L0 refi 0/1,
@@ -190,7 +267,11 @@ def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
     prms: (n_levels, 15) per-level quant params; prm3: (3,) lam/w_u/w_v.
     Returns one packed int16 vector: mode/split per level, then the 16x16
     qpel MV planes for each present ref in order [L0r0, L0r1, L1r0, L1r1,
-    bi-refined L1]."""
+    bi-refined L1], with the re-searched large-CU MV maps (levels 5/6)
+    for the L0r0 plane right after its 16x16 field.  R is kept in the
+    signature for dispatch compatibility; the effective search range is
+    the coarse quarter-res window (+-24 pel, clamped +-23)."""
+    del R
     h, w = y16.shape
     yf = y16.astype(jnp.float32)
     uf = u16.astype(jnp.float32)
@@ -207,29 +288,34 @@ def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
         leaf[lg] = c
 
     mv16c = mv16c_0b = mv16c_1 = mv16c_1b = mv16c_bi = None
-    planes0 = planes1 = None
+    researched = {}
+    pred16_0 = vw1 = m1 = None
     if ref0 is not None:
-        ry = jnp.pad(ref0[0].astype(jnp.int32), pad, mode="edge")
-        ru = jnp.pad(ref0[1].astype(jnp.int32), pad // 2, mode="edge")
-        rv = jnp.pad(ref0[2].astype(jnp.int32), pad // 2, mode="edge")
-        mv16c, planes0 = _me_mv16c(y_i32, ry, R, pad, h, w, bd)
-        icosts = _inter_level_costs(y_i32, u_i32, v_i32, planes0, ru, rv,
-                                    mv16c, prm3, pad, min_log2, max_log2,
-                                    h, w)
+        mv16c, _vw0, sq16, pred16_0, ry0, _m0 = _ref_luma(
+            y_i32, ref0[0], pad, bd, h, w)
+        icosts, researched = _inter_costs_v2(
+            y_i32, u_i32, v_i32, ref0, mv16c, sq16, ry0, prm3, pad,
+            min_log2, max_log2, h, w, bd)
         for lg in leaf:
             leaf[lg] = jnp.minimum(leaf[lg], icosts[lg])
     if ref0b is not None:
-        ryb = jnp.pad(ref0b[0].astype(jnp.int32), pad, mode="edge")
-        mv16c_0b, _ = _me_mv16c(y_i32, ryb, R, pad, h, w, bd)
+        mv16c_0b = _ref_luma(y_i32, ref0b[0], pad, bd, h, w)[0]
     if ref1 is not None:
-        ry1 = jnp.pad(ref1[0].astype(jnp.int32), pad, mode="edge")
-        mv16c_1, planes1 = _me_mv16c(y_i32, ry1, R, pad, h, w, bd)
+        mv16c_1, vw1, _sq1, _p1, _ry1, m1 = _ref_luma(
+            y_i32, ref1[0], pad, bd, h, w)
     if ref1b is not None:
-        ry1b = jnp.pad(ref1b[0].astype(jnp.int32), pad, mode="edge")
-        mv16c_1b, _ = _me_mv16c(y_i32, ry1b, R, pad, h, w, bd)
+        mv16c_1b = _ref_luma(y_i32, ref1b[0], pad, bd, h, w)[0]
     if refine and ref0 is not None and ref1 is not None:
-        mv16c_bi = _bi_refine(y_i32, planes0, planes1, mv16c, mv16c_1,
-                              pad, h, w, R)
+        # joint bi refinement (analyze_bi analog): re-search L1 around its
+        # coarse center against the L0-compensated residual target
+        cur16 = _cur_blocks(y_i32, 16)
+        tgt = 2.0 * cur16.astype(jnp.float32) - pred16_0.astype(jnp.float32)
+        qbi = wm.eval_qpel_target(tgt, vw1)
+        nby16, nbx16 = h // 16, w // 16
+        mvbi = 4 * m1 + qbi
+        py = _ceil_div(h, 16) - nby16
+        px = _ceil_div(w, 16) - nbx16
+        mv16c_bi = jnp.pad(mvbi, ((0, py), (0, px), (0, 0)), mode="edge")
 
     split = _partition_dp_dev(leaf, lam, h, w, min_log2, max_log2)
 
@@ -237,9 +323,12 @@ def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
     for lg in range(min_log2, max_log2 + 1):
         parts.append(mode[lg].astype(jnp.int16).reshape(-1))
         parts.append(split[lg].reshape(-1))
-    for m in (mv16c, mv16c_0b, mv16c_1, mv16c_1b, mv16c_bi):
+    for i, m in enumerate((mv16c, mv16c_0b, mv16c_1, mv16c_1b, mv16c_bi)):
         if m is not None:
             parts.append(m.astype(jnp.int16).reshape(-1))
+        if i == 0:
+            for lg in sorted(researched):
+                parts.append(researched[lg].astype(jnp.int16).reshape(-1))
     # RC complexity: total best-mode cost at the 16x16 level, packed as
     # two int16 halves of a >>16-scaled int32 — the one scalar the
     # frame-level rate model consumes (replaces the host Hadamard proxy)
@@ -325,12 +414,11 @@ class DeviceAnalyzer:
                  ref1_poc: int | None = None,
                  ref0b_poc: int | None = None,
                  ref1b_poc: int | None = None,
-                 bi_refine: bool = False) -> _Handle:
-        """bi_refine is opt-in: the joint refinement adds a second full
-        device pass worth of gathers (~1.5 s at 1080p on the measured
-        remote TPU, doubling B-frame analysis) for a marginal BD gain —
-        the closed-loop pass already evaluates the unrefined bi
-        candidate."""
+                 bi_refine: bool = True) -> _Handle:
+        """bi_refine defaults ON since the round-4 gather-free rewrite:
+        the joint refinement reuses the L1 phase windows already computed
+        for its ME, so it costs one extra 289-candidate scan (~2 ms at
+        1080p) instead of a second full gather pass."""
         y, u, v = self.ring[poc]
         kind = "I" if ref_poc is None else (
             "B" if (ref1_poc is not None and ref1_poc != ref_poc) else "P")
@@ -453,8 +541,24 @@ class DeviceAnalyzer:
                 maps[lg] = _mv_for_level_np(m16, lg, h // s, w // s)
             return maps
 
+        def read_researched(maps):
+            """Override the large-CU levels of the L0r0 maps with the
+            device-re-searched per-CU MVs (packed right after its 16x16
+            field)."""
+            nonlocal off
+            for lg in range(max(5, hd.min_log2), hd.max_log2 + 1):
+                s = 1 << lg
+                nby, nbx = h // s, w // s
+                if nby == 0 or nbx == 0:
+                    continue
+                n = nby * nbx * 2
+                maps[lg] = vec[off:off + n].reshape(nby, nbx,
+                                                    2).astype(np.int32)
+                off += n
+            return maps
+
         has0, has0b, has1, has1b, hasbi = hd.planes
-        mv = next_plane() if has0 else None
+        mv = read_researched(next_plane()) if has0 else None
         mv0b = next_plane() if has0b else None
         mv1 = next_plane() if has1 else None
         mv1b = next_plane() if has1b else None

@@ -47,7 +47,7 @@ def meshed_subgop_analysis(mesh: Mesh, bd: int = 10, search_range: int = 16,
     axis = mesh.axis_names[0]
     fn1 = functools.partial(_fused_impl, bd=bd, R=int(search_range), pad=PAD,
                             min_log2=min_log2, max_log2=max_log2,
-                            refine=False)
+                            refine=True)
 
     def one(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, prms, prm3):
         return fn1(y, u, v, (r0y, r0u, r0v), None, (r1y, r1u, r1v), None,
