@@ -68,6 +68,7 @@ class Encoder:
             analysis_inter_np.ME_ENGINE = me_engine
         self._batch_analyzer = None
         self._dev = None
+        self._code_pool = None     # frame-parallel C-pass workers
         self.dpb = []          # DPB entries (padded recon + mv map + tid)
         self.poc = 0
         self.last_intra_poc = -(10 ** 9)   # list constraint (decoder parity)
@@ -752,7 +753,7 @@ class Encoder:
                 if (p.ref_pics > 1 and disp - 2 >= last_i
                         and dev.has_frame(disp - 2)):
                     ref0b = disp - 2
-            hd = dev.dispatch(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref,
+            hd = dev.dispatch_bg(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref,
                               ref0b_poc=ref0b)
             pending.append(((y, u, v), hd))
             disp += 1
@@ -879,7 +880,7 @@ class GopEncoder(Encoder):
                 qp_y, qp_u, qp_v = self._qp_triplet(qp)
                 ref0, ref0b, ref1, ref1b = self._predict_refs(shadow, dev,
                                                               poc, tid, base)
-                hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v, ref_poc=ref0,
+                hd = dev.dispatch_bg(poc, qp, qp_y, qp_u, qp_v, ref_poc=ref0,
                                   ref1_poc=ref1, ref0b_poc=ref0b,
                                   ref1b_poc=ref1b)
                 handles.append((poc, disp, tid, is_ref, hd))
@@ -927,6 +928,12 @@ class GopEncoder(Encoder):
         dev = self._device()
         for fr in frames:
             self._gop_in.append(self._pad_input(*fr))
+            # stream the upload NOW (display poc == derived poc for full
+            # sub-GOPs) so the ~6 MB/frame device transfer overlaps the
+            # previous sub-GOP's native coding pass instead of stalling
+            # the first collects at the sub-GOP boundary
+            dev.put_frame(self._gop_base + len(self._gop_in) - 1,
+                          *self._gop_in[-1])
             if not self._first_done:
                 self._poc_state.derive(True, 0, 4)
                 bs, rec = self._encode_ra_frame(0, 0, 0, True, SLICE_I)
@@ -945,32 +952,45 @@ class GopEncoder(Encoder):
             dev.put_frame(poc, y, u, v)
         handles = []
         shadow = self._shadow_dpb()
+        frozen_lists = {}
         for (poc, disp, tid, is_ref) in order:
             depth = 1 if disp % 16 == 0 else tid + 1
             qp = self._ra_qp(depth) if self.rc is None \
                 else self._qp_guess(SLICE_B)
             qp_y, qp_u, qp_v = self._qp_triplet(qp)
+            # freeze the coding-time ref list STRUCTURE from the shadow DPB
+            # (identical derivation to the _encode_ra_frame call); the
+            # frame-parallel coding pass resolves the recon content later
+            l0, l1 = picman_np.build_ref_lists(
+                shadow, poc, tid, SLICE_B, SLICE_P, SLICE_B,
+                self.sps.max_num_ref_pics, -(10 ** 9))
+            frozen_lists[poc] = ([q["poc"] for q in l0],
+                                 [q["poc"] for q in l1])
             ref0, ref0b, ref1, ref1b = self._predict_refs(shadow, dev,
                                                           poc, tid, base)
-            hd = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
+            hd = dev.dispatch_bg(poc, qp, qp_y, qp_u, qp_v,
                               ref_poc=ref0, ref1_poc=ref1,
                               ref0b_poc=ref0b, ref1b_poc=ref1b)
-            handles.append((poc, disp, tid, is_ref, hd, ref0, ref1))
+            handles.append((poc, disp, tid, is_ref, hd, ref0, ref1, qp))
             picman_np.dpb_mark_and_insert(
                 shadow, {"poc": poc, "tid": tid, "ref": is_ref}, False)
+        if self.rc is None and self.p.aq_mode < 2 and self._frame_workers() > 1:
+            yield from self._code_subgop_parallel(dev, handles, frozen_lists,
+                                                  base)
+            return
         # cutree-lite (aq_mode 2): collect the whole sub-GOP's analyses up
         # front and hand each reference frame the MV fields of the frames
         # predicting from it (xeve_fcst.c:629 blk_tree analog)
         collected = {}
         deps: dict[int, list] = {}
         if self.p.aq_mode >= 2:
-            for (poc, disp, tid, is_ref, hd, r0, r1) in handles:
+            for (poc, disp, tid, is_ref, hd, r0, r1, _qp) in handles:
                 an = collected.setdefault(poc, dev.collect(hd))
                 if r0 is not None and getattr(an, "mv", None):
                     deps.setdefault(r0, []).append(an.mv[4])
                 if r1 is not None and getattr(an, "mv1", None):
                     deps.setdefault(r1, []).append(an.mv1[4])
-        for (poc, disp, tid, is_ref, hd, _r0, _r1) in handles:
+        for (poc, disp, tid, is_ref, hd, _r0, _r1, _qp) in handles:
             an = collected.get(poc) or dev.collect(hd)
             aq = None
             if self.p.aq_mode >= 2:
@@ -980,6 +1000,103 @@ class GopEncoder(Encoder):
                                             SLICE_B, analysis_pre=an,
                                             aq_map=aq)
             yield bs, rec, disp
+        self._gop_base = base + 16
+        self._gop_in = self._gop_in[-1:]
+
+    @staticmethod
+    def _frame_workers():
+        """Native coding-pass worker threads for frame-parallel coding
+        (XEVE_TPU_FRAME_WORKERS env override; default = CPU count, max 4).
+        The C pass releases the GIL, so independent frames of a sub-GOP
+        code concurrently — the frame-level parallel axis the reference
+        does not have (SURVEY.md §2.4: 'no frame-level parallelism')."""
+        import os
+        return max(1, int(os.environ.get(
+            "XEVE_TPU_FRAME_WORKERS", str(min(4, os.cpu_count() or 1)))))
+
+    def _code_subgop_parallel(self, dev, handles, frozen_lists, base):
+        """Frame-DAG parallel coding of one RA sub-GOP: every frame's
+        closed-loop C pass runs as a task that blocks only on the recon of
+        the frames in its frozen ref lists.  Tasks are submitted in coding
+        order (a topological order of the hierarchy), so FIFO workers
+        cannot deadlock; emission (headers, DPB, stats, RC bookkeeping)
+        stays serial on the main thread in coding order, keeping the
+        bitstream bit-identical to the serial path (asserted in
+        tests/test_frame_parallel.py)."""
+        import concurrent.futures
+        p = self.p
+        if self._code_pool is None:
+            self._code_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._frame_workers(),
+                thread_name_prefix="xt-frame")
+        dpb_by_poc = {q["poc"]: q for q in self.dpb}
+        futures = {}
+
+        def resolve(q):
+            if q in dpb_by_poc:
+                return dpb_by_poc[q]
+            return futures[q].result()["entry"]
+
+        def task(poc, disp, tid, is_ref, hd, qp):
+            y, u, v = self._gop_in[disp - base]
+            y = np.asarray(y, np.int32)
+            u = np.asarray(u, np.int32)
+            v = np.asarray(v, np.int32)
+            l0p, l1p = frozen_lists[poc]
+            refp = [resolve(q) for q in l0p]
+            refp1 = [resolve(q) for q in l1p]
+            an = dev.collect(hd)
+            if (refp1 and getattr(an, "mv1", None) is None
+                    and getattr(an, "mv", None) is not None):
+                an.mv1 = {lg: m for lg, m in an.mv.items()}
+            aq_map = self._aq_map(y, u, v)
+            payload, bin_count, rec_y, rec_u, rec_v, map_mv, tile_lens = \
+                self._code_slice(SLICE_B, poc, qp, y, u, v, an, refp, refp1,
+                                 aq_map=aq_map)
+            entry = {
+                "poc": poc, "tid": tid, "ref": is_ref,
+                "list0_poc": refp[0]["poc"] if refp else poc,
+                "y_pad": mc_np.pad_picture(np.asarray(rec_y, np.int32),
+                                           PAD_L),
+                "u_pad": mc_np.pad_picture(np.asarray(rec_u, np.int32),
+                                           PAD_L // 2),
+                "v_pad": mc_np.pad_picture(np.asarray(rec_v, np.int32),
+                                           PAD_L // 2),
+                "map_mv": map_mv,
+            }
+            return {"payload": payload, "bin_count": bin_count,
+                    "rec": (rec_y, rec_u, rec_v), "entry": entry,
+                    "tile_lens": tile_lens, "y": y,
+                    "l0p": l0p, "l1p": l1p}
+
+        for (poc, disp, tid, is_ref, hd, _r0, _r1, qp) in handles:
+            futures[poc] = self._code_pool.submit(task, poc, disp, tid,
+                                                  is_ref, hd, qp)
+        for (poc, disp, tid, is_ref, _hd, _r0, _r1, qp) in handles:
+            r = futures[poc].result()
+            sh = SliceHeader(slice_type=SLICE_B, qp=qp,
+                             qp_u_offset=p.qp_cb_offset,
+                             qp_v_offset=p.qp_cr_offset,
+                             deblocking_filter_on=1 if p.use_deblock else 0)
+            self._sh_tiles(sh, r["tile_lens"])
+            bw = BitWriter()
+            NalHeader(NUT_NONIDR, tid).write(bw)
+            sh.write(bw, NUT_NONIDR, self.sps, self.pps)
+            payload = bw.get_bytes() + r["payload"]
+            payload += self._cabac_zero_words(r["bin_count"], len(payload))
+            out = wrap_nal(payload)
+            rec_y, rec_u, rec_v = r["rec"]
+            if p.use_pic_sign:
+                out += self._signature_sei(rec_y, rec_u, rec_v)
+            self._rc_update(SLICE_B, qp, len(out))
+            self._prev_orig_y = r["y"]
+            picman_np.dpb_mark_and_insert(self.dpb, r["entry"], False)
+            self.pic_cnt += 1
+            self.last_stat = Stat(
+                bytes=len(out), nalu_type=NUT_NONIDR, slice_type=SLICE_B,
+                qp=qp, poc=poc, tid=tid, ref_pocs_l0=list(r["l0p"]),
+                ref_pocs_l1=list(r["l1p"]))
+            yield out, (rec_y, rec_u, rec_v), disp
         self._gop_base = base + 16
         self._gop_in = self._gop_in[-1:]
 
@@ -1059,7 +1176,7 @@ class GopEncoder(Encoder):
                 ref1 = None
             if ref1 is None:
                 # anchor/P frames: regular single-device dispatch
-                handles[poc] = dev.dispatch(poc, qp, qp_y, qp_u, qp_v,
+                handles[poc] = dev.dispatch_bg(poc, qp, qp_y, qp_u, qp_v,
                                             ref_poc=ref0)
             else:
                 prms = np.stack([level_params(qp, qp_y, qp_u, qp_v,
@@ -1080,9 +1197,9 @@ class GopEncoder(Encoder):
             cols = [[], [], [], [], [], [], [], [], [], [], []]
             for i in idx:
                 poc, prms, prm3, r0, r1 = b_items[i]
-                yuv = dev.ring[poc]
-                ref0 = dev.ring[r0]
-                ref1 = dev.ring[r1]
+                yuv = dev.ring_get(poc)
+                ref0 = dev.ring_get(r0)
+                ref1 = dev.ring_get(r1)
                 for k in range(3):
                     cols[k].append(yuv[k])
                     cols[3 + k].append(ref0[k])

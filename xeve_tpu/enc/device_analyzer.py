@@ -101,12 +101,13 @@ def _pad_to(plane, h, w):
     return plane
 
 
-def _ref_luma(y_i32, ref_y16, pad, bd, h, w):
+def _ref_luma(y_i32, ref_y16, pad, bd, h, w, want_pred: bool = True):
     """Coarse quarter-res ME + exhaustive +-8 qpel window refinement for
     one reference (winmc_jax pipeline, zero gathers).  Returns (mv16c
     ceil-grid qpel MV field, vw phase windows, sq16 squared-diff blocks,
     pred16 winning predictions, ry_pad padded int32 ref, m coarse int
-    MVs)."""
+    MVs).  want_pred=False drops the sq/pred scan carries (MV-only
+    auxiliary reference planes)."""
     nby16, nbx16 = h // 16, w // 16
     hc, wc = nby16 * 16, nbx16 * 16
     ry_pad = jnp.pad(ref_y16.astype(jnp.int32), pad, mode="edge")
@@ -117,7 +118,8 @@ def _ref_luma(y_i32, ref_y16, pad, bd, h, w):
                             32, 32).astype(jnp.int32)
     vw = wm.phase_windows(W32, bd)
     cur16 = _cur_blocks(y_i32, 16)
-    q, _sad, sq16, pred16 = wm.eval_qpel(cur16, vw)
+    q, _sad, sq16, pred16 = wm.eval_qpel(cur16, vw, want_pred=want_pred,
+                                         W32=W32, bd=bd)
     mv16 = 4 * m + q
     py = _ceil_div(h, 16) - nby16
     px = _ceil_div(w, 16) - nbx16
@@ -299,17 +301,19 @@ def _fused_impl(y16, u16, v16, ref0, ref0b, ref1, ref1b, prms, prm3, *,
         for lg in leaf:
             leaf[lg] = jnp.minimum(leaf[lg], icosts[lg])
     if ref0b is not None:
-        mv16c_0b = _ref_luma(y_i32, ref0b[0], pad, bd, h, w)[0]
+        mv16c_0b = _ref_luma(y_i32, ref0b[0], pad, bd, h, w,
+                             want_pred=False)[0]
     if ref1 is not None:
         mv16c_1, vw1, _sq1, _p1, _ry1, m1 = _ref_luma(
-            y_i32, ref1[0], pad, bd, h, w)
+            y_i32, ref1[0], pad, bd, h, w, want_pred=False)
     if ref1b is not None:
-        mv16c_1b = _ref_luma(y_i32, ref1b[0], pad, bd, h, w)[0]
+        mv16c_1b = _ref_luma(y_i32, ref1b[0], pad, bd, h, w,
+                             want_pred=False)[0]
     if refine and ref0 is not None and ref1 is not None:
         # joint bi refinement (analyze_bi analog): re-search L1 around its
         # coarse center against the L0-compensated residual target
         cur16 = _cur_blocks(y_i32, 16)
-        tgt = 2.0 * cur16.astype(jnp.float32) - pred16_0.astype(jnp.float32)
+        tgt = 2 * cur16 - pred16_0
         qbi = wm.eval_qpel_target(tgt, vw1)
         nby16, nbx16 = h // 16, w // 16
         mvbi = 4 * m1 + qbi
@@ -388,25 +392,63 @@ class DeviceAnalyzer:
         self.host_ring: dict[int, tuple] = {}
         self.ring_size = ring_size
         self.failures = 0          # recovered device failures (telemetry)
+        self._pool = None          # lazy single-thread dispatcher
+
+    def _submit(self, fn, *args, **kw):
+        """Run device work on the single dispatcher thread.  The runtime
+        bounds in-flight device computations, so an enqueue past the limit
+        BLOCKS — on this thread, never on the main thread driving the
+        native coding pass (measured: a 16-deep sub-GOP dispatch burst
+        blocked dispatch() for ~325 ms/frame, fully serializing analysis
+        against the C pass)."""
+        if self._pool is None:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="xt-dispatch")
+        return self._pool.submit(fn, *args, **kw)
 
     # -- frame ring ------------------------------------------------------
     def put_frame(self, poc: int, y, u, v):
-        """Upload one original frame (async).  Arrays must be the aligned
-        coded size.  A host-side copy is kept for failure recovery
-        (SURVEY.md §5.3: the device can die mid-encode; analysis falls
-        back to the numpy oracle from host originals)."""
+        """Upload one original frame (async, via the dispatcher thread).
+        Arrays must be the aligned coded size.  A host-side copy is kept
+        for failure recovery (SURVEY.md §5.3: the device can die
+        mid-encode; analysis falls back to the numpy oracle from host
+        originals).  Re-puts of a POC already resident are no-ops so
+        callers can stream uploads at frame-arrival time (overlapping the
+        previous sub-GOP's coding pass) and the sub-GOP dispatch loop can
+        still put defensively."""
+        if poc in self.host_ring:
+            return
         hy = np.asarray(y, np.int16)
         hu = np.asarray(u, np.int16)
         hv = np.asarray(v, np.int16)
         self.host_ring[poc] = (hy, hu, hv)
+        if len(self.host_ring) > self.ring_size:
+            for k in sorted(self.host_ring)[:len(self.host_ring)
+                                            - self.ring_size]:
+                del self.host_ring[k]
+        self._submit(self._upload, poc, hy, hu, hv)
+
+    def _upload(self, poc, hy, hu, hv):
         self.ring[poc] = (jnp.asarray(hy), jnp.asarray(hu), jnp.asarray(hv))
         if len(self.ring) > self.ring_size:
             for k in sorted(self.ring)[:len(self.ring) - self.ring_size]:
                 del self.ring[k]
-                self.host_ring.pop(k, None)
 
     def has_frame(self, poc: int) -> bool:
-        return poc in self.ring
+        return poc in self.host_ring
+
+    def ring_get(self, poc: int):
+        """Device arrays for a resident POC.  When called off the
+        dispatcher thread before its queued upload ran, falls back to a
+        synchronous upload (same content; a late queued upload just
+        overwrites with an identical copy)."""
+        t = self.ring.get(poc)
+        if t is None:
+            hy, hu, hv = self.host_ring[poc]
+            t = (jnp.asarray(hy), jnp.asarray(hu), jnp.asarray(hv))
+            self.ring[poc] = t
+        return t
 
     # -- analysis --------------------------------------------------------
     def dispatch(self, poc: int, qp: int, qp_y: int, qp_u: int, qp_v: int,
@@ -419,7 +461,7 @@ class DeviceAnalyzer:
         the joint refinement reuses the L1 phase windows already computed
         for its ME, so it costs one extra 289-candidate scan (~2 ms at
         1080p) instead of a second full gather pass."""
-        y, u, v = self.ring[poc]
+        y, u, v = self.ring_get(poc)
         kind = "I" if ref_poc is None else (
             "B" if (ref1_poc is not None and ref1_poc != ref_poc) else "P")
         prms = jnp.asarray(np.stack(
@@ -429,14 +471,14 @@ class DeviceAnalyzer:
         w_u = 2.0 ** ((qp_y - qp_u) / 3.0)
         w_v = 2.0 ** ((qp_y - qp_v) / 3.0)
         prm3 = jnp.asarray(np.array([lam, w_u, w_v], np.float32))
-        ref0 = self.ring[ref_poc] if kind in ("P", "B") else None
-        ref1 = self.ring[ref1_poc] if kind == "B" else None
-        ref0b = (self.ring[ref0b_poc]
+        ref0 = self.ring_get(ref_poc) if kind in ("P", "B") else None
+        ref1 = self.ring_get(ref1_poc) if kind == "B" else None
+        ref0b = (self.ring_get(ref0b_poc)
                  if (kind != "I" and ref0b_poc is not None
-                     and ref0b_poc in self.ring) else None)
-        ref1b = (self.ring[ref1b_poc]
+                     and ref0b_poc in self.host_ring) else None)
+        ref1b = (self.ring_get(ref1b_poc)
                  if (kind == "B" and ref1b_poc is not None
-                     and ref1b_poc in self.ring) else None)
+                     and ref1b_poc in self.host_ring) else None)
         refine = bool(bi_refine and kind == "B")
         vec = _fused_jit(y, u, v, ref0, ref0b, ref1, ref1b, prms, prm3,
                          bd=self.bd, R=self.R, pad=PAD,
@@ -491,11 +533,21 @@ class DeviceAnalyzer:
                                    self.bd, search_range=self.R,
                                    refp1=refp1, min_log2=self.min_log2)
 
-    def collect(self, hd: _Handle):
+    def dispatch_bg(self, *args, **kw):
+        """dispatch() on the dispatcher thread; returns a Future[_Handle]
+        that collect() accepts.  Keeps runtime enqueue backpressure (the
+        bounded in-flight computation limit) off the thread running the
+        native coding pass."""
+        return self._submit(self.dispatch, *args, **kw)
+
+    def collect(self, hd):
         """Block on the packed transfer; build the decision maps the coding
-        pass consumes (split/mode per level, per-level MV maps).  On a
-        device failure: one re-dispatch, then the numpy-oracle fallback —
-        the encode never dies with the device."""
+        pass consumes (split/mode per level, per-level MV maps).  Accepts
+        a _Handle or a dispatch_bg Future.  On a device failure: one
+        re-dispatch, then the numpy-oracle fallback — the encode never
+        dies with the device."""
+        if hasattr(hd, "result"):
+            hd = hd.result()
         try:
             vec = np.asarray(hd.vec)
         except Exception:

@@ -50,16 +50,25 @@ MC_L = np.array([[0, 0, 0, 64, 0, 0, 0, 0],
                  [0, 2, -10, 40, 40, -10, 2, 0],
                  [0, 1, -5, 20, 52, -5, 1, 0]], dtype=np.int32)
 
-# 12-tap table for per-block {phase, int-offset} filters: T12[q+4] applies
-# the 8-tap phase filter MC_L[q&3] at integer offset (q>>2) for qpel
-# remainder q in [-4, 7]; out[r] = sum_t T12[q][t] * Wext[r + t] with the
-# output block origin at Wext row 5 (see perblock_mc).
-_T12 = np.zeros((12, 12), np.int32)
-for _q in range(-4, 8):
-    _d = _q >> 2
-    _f = _q & 3
-    for _j in range(8):
-        _T12[_q + 4, 2 + _d + _j] = MC_L[_f, _j]
+# Per-block {phase, int-offset} filter tables: row q - q_lo applies the
+# 8-tap phase filter MC_L[q&3] at integer offset (q>>2) for qpel remainder
+# q; out[r] = sum_t T[q][t] * W[r + t] with the output block origin at
+# W row `origin` and taps placed at t = (origin - 3) + (q>>2) + j.
+def _tap_table(q_lo: int, q_hi: int, origin: int):
+    n_t = origin - 3 + (q_hi >> 2) + 8
+    T = np.zeros((q_hi - q_lo + 1, n_t), np.int32)
+    for q in range(q_lo, q_hi + 1):
+        d = q >> 2
+        f = q & 3
+        for j in range(8):
+            T[q - q_lo, origin - 3 + d + j] = MC_L[f, j]
+    return T
+
+
+# q in [-4, 7], window origin 5 (large-CU re-search on (s+12)-windows)
+_T12 = _tap_table(-4, 7, 5)
+# q in [-8, 8], window origin 7 (winner-prediction rebuild on 32-windows)
+_T16 = _tap_table(-8, 8, 7)
 
 # extraction precision: one-hot matmuls must be exact for 10-bit samples;
 # TPU default matmul precision is bf16 (8-bit mantissa) which rounds them
@@ -136,10 +145,13 @@ def coarse_me(cur_y_f32, ref_pad_f32, pad: int, nby: int, nbx: int,
 
 def build_patches(plane_pad, bs: int, k: int, off: int, nby: int, nbx: int,
                   pad: int):
-    """(nby, nbx, k*bs, k*bs) f32 patches: patch[i,j,a,b] =
+    """(nby, nbx, k*bs, k*bs) int16 patches: patch[i,j,a,b] =
     plane_pad[pad + bs*i + a - off, pad + bs*j + b - off].  Static strided
-    slicing only; requires off <= pad and (k*bs - off) <= pad + bs."""
+    slicing only; requires off <= pad and (k*bs - off) <= pad + bs.
+    Kept int16 (10-bit samples) — onehot_extract fuses the f32 convert
+    into the matmul, halving the HBM footprint of the patch tensors."""
     win = k * bs
+    plane_pad = plane_pad.astype(jnp.int16)
     Wp = plane_pad.shape[1]
     rows = []
     for sa in range(k):
@@ -153,13 +165,13 @@ def build_patches(plane_pad, bs: int, k: int, off: int, nby: int, nbx: int,
         cols.append(jax.lax.dynamic_slice(
             Pr, (0, 0, c0), (nby, win, nbx * bs)).reshape(nby, win, nbx, bs))
     P = jnp.concatenate(cols, axis=3)              # (nby, win, nbx, win)
-    return P.transpose(0, 2, 1, 3).astype(jnp.float32)
+    return P.transpose(0, 2, 1, 3)
 
 
 def onehot_extract(P, off_r, off_c, oh: int, ow: int):
     """Extract (oh, ow) windows at per-block integer offsets (off_r, off_c)
     into the patch, as two one-hot matmuls on the MXU.  P: (nby, nbx, win,
-    win) f32; offsets (nby, nbx) int32 in [0, win - oh/ow]."""
+    win) int16; offsets (nby, nbx) int32 in [0, win - oh/ow]."""
     win = P.shape[-1]
     arr = jnp.arange(oh)
     arc = jnp.arange(ow)
@@ -168,7 +180,8 @@ def onehot_extract(P, off_r, off_c, oh: int, ow: int):
             == idx[None, None, None, :]).astype(jnp.float32)
     oh_c = (off_c[..., None, None] + arc[None, None, :, None]
             == idx[None, None, None, :]).astype(jnp.float32)
-    t = jnp.einsum('ijrk,ijkc->ijrc', oh_r, P, precision=_HI)
+    t = jnp.einsum('ijrk,ijkc->ijrc', oh_r, P.astype(jnp.float32),
+                   precision=_HI)
     return jnp.einsum('ijrc,ijwc->ijrw', t, oh_c, precision=_HI)
 
 
@@ -250,42 +263,44 @@ def _cand_table(rng: int, lo: int, origin: int):
     return mk(qx), mk(qy), mk(pidx), mk(r0), mk(c0)
 
 
-def eval_qpel(cur16, vw, rng: int = 8, lo: int = 3, origin: int = 7):
+def eval_qpel(cur16, vw, rng: int = 8, lo: int = 3, origin: int = 7,
+              want_pred: bool = True, W32=None, bd: int = 10):
     """Exhaustive SAD over the (2*rng+1)^2 qpel offsets in [-rng, rng]^2
     for every block, as a lax.scan over the candidate table (tiny compiled
-    body; each step is a frame-sized SAD).  cur16: (nby, nbx, 16, 16)
+    body; each step is a frame-sized SAD; carries are just sad + q so the
+    scan streams no block-sized tensors).  cur16: (nby, nbx, 16, 16)
     int32; vw: (nby, nbx, 16, n, n) int16 phase windows with window coord
     `origin` = block start, planes offset by `lo`.  Returns (best_q
-    (nby,nbx,2), best_sad, best_sq, best_pred): the squared-diff block and
-    prediction of the winner."""
+    (nby,nbx,2), best_sad, best_sq, best_pred); the winner's prediction is
+    rebuilt AFTER the scan by one per-block-tap MC over the extraction
+    windows W32 (None, None with want_pred=False)."""
     nby, nbx = cur16.shape[:2]
     tbl = jnp.stack(_cand_table(rng, lo, origin), axis=1)   # (n_cand, 5)
 
     def step(carry, row):
-        best_sad, best_q, best_sq, best_pred = carry
         qx, qy, pidx, r0, c0 = row[0], row[1], row[2], row[3], row[4]
         pred = jax.lax.dynamic_slice(
             vw, (0, 0, pidx, r0, c0), (nby, nbx, 1, 16, 16))[:, :, 0] \
             .astype(jnp.int32)
-        diff = cur16 - pred
-        sad = jnp.abs(diff).sum(axis=(-1, -2))
-        upd = sad < best_sad
-        best_sad = jnp.where(upd, sad, best_sad)
-        best_q = jnp.where(upd[..., None], jnp.stack([qx, qy]), best_q)
-        best_sq = jnp.where(upd[..., None, None], diff * diff, best_sq)
-        best_pred = jnp.where(upd[..., None, None], pred, best_pred)
-        return (best_sad, best_q, best_sq, best_pred), None
+        sad = jnp.abs(cur16 - pred).sum(axis=(-1, -2))
+        upd = sad < carry[0]
+        best_sad = jnp.where(upd, sad, carry[0])
+        best_q = jnp.where(upd[..., None], jnp.stack([qx, qy]), carry[1])
+        return (best_sad, best_q), None
 
     init = (jnp.full((nby, nbx), jnp.int32(1 << 30)),
-            jnp.zeros((nby, nbx, 2), jnp.int32),
-            jnp.zeros_like(cur16), jnp.zeros_like(cur16))
-    (best_sad, best_q, best_sq, best_pred), _ = jax.lax.scan(
-        step, init, tbl)
-    return best_q, best_sad, best_sq, best_pred
+            jnp.zeros((nby, nbx, 2), jnp.int32))
+    (best_sad, best_q), _ = jax.lax.scan(step, init, tbl)
+    if not want_pred:
+        return best_q, best_sad, None, None
+    pred = perblock_mc(W32, best_q[..., 0], best_q[..., 1], 16, bd,
+                       table=_T16, q_lo=-8)
+    diff = cur16 - pred
+    return best_q, best_sad, diff * diff, pred
 
 
 def eval_qpel_target(target, vw, rng: int = 8, lo: int = 3, origin: int = 7):
-    """eval_qpel against an arbitrary f32 target (bi refinement: target =
+    """eval_qpel against an arbitrary int32 target (bi refinement: target =
     2*cur - pred0, analyze_bi analog xeve_pinter.c:1567).  Returns best_q
     only."""
     nby, nbx = target.shape[:2]
@@ -296,14 +311,14 @@ def eval_qpel_target(target, vw, rng: int = 8, lo: int = 3, origin: int = 7):
         qx, qy, pidx, r0, c0 = row[0], row[1], row[2], row[3], row[4]
         pred = jax.lax.dynamic_slice(
             vw, (0, 0, pidx, r0, c0), (nby, nbx, 1, 16, 16))[:, :, 0] \
-            .astype(jnp.float32)
+            .astype(jnp.int32)
         cost = jnp.abs(target - pred).sum(axis=(-1, -2))
         upd = cost < best_cost
         best_cost = jnp.where(upd, cost, best_cost)
         best_q = jnp.where(upd[..., None], jnp.stack([qx, qy]), best_q)
         return (best_cost, best_q), None
 
-    init = (jnp.full((nby, nbx), jnp.inf, jnp.float32),
+    init = (jnp.full((nby, nbx), jnp.int32(1 << 30)),
             jnp.zeros((nby, nbx, 2), jnp.int32))
     (_, best_q), _ = jax.lax.scan(step, init, tbl)
     return best_q
@@ -314,35 +329,39 @@ def eval_qpel_target(target, vw, rng: int = 8, lo: int = 3, origin: int = 7):
 # ---------------------------------------------------------------------------
 
 
-def perblock_mc(Wext, q_rel_x, q_rel_y, s: int, bd: int):
-    """Exact-shape separable MC with per-block qpel remainders q_rel in
-    [-4, 7] (int offset q>>2 in {-1,0,1} + phase q&3).  Wext: (nby, nbx,
-    s+12, s+12) int32 with the output block origin at row/col 5 (so
-    Wext[..., 5 + x, 5 + y] is the integer-grid sample at block position
-    (x, y) for the base MV).  T12 places the 8-tap phase filter MC_L[q&3]
-    at t = 2 + (q>>2) + j, so out[r] = sum_t taps[t] * Wext[r + t] with no
-    further origin shift.  Returns (nby, nbx, s, s) int32 prediction
-    (generic two-stage path for all phases — analysis cost only, <=1 LSB
-    from the single-direction exact path)."""
+def perblock_mc(Wext, q_rel_x, q_rel_y, s: int, bd: int,
+                table=None, q_lo: int = -4):
+    """Separable MC with per-block qpel remainders q_rel (int offset q>>2
+    + phase q&3) selected per block via one-hot over the extended tap
+    table (default _T12: q in [-4, 7] on (s+12)-windows with the output
+    block origin at row/col 5; pass table=_T16, q_lo=-8 for q in [-8, 8]
+    on 32-windows with origin 7).  out[r] = sum_t taps[t] * Wext[r + t]
+    with no further origin shift (taps pre-placed by _tap_table).
+    Returns (nby, nbx, s, s) int32 prediction (generic two-stage path for
+    all phases — analysis cost only, <=1 LSB from the single-direction
+    exact path)."""
+    if table is None:
+        table = _T12
+    nq, nt = table.shape
     mx = (1 << bd) - 1
     shift1 = min(4, bd - 8)
     shift2 = max(8, 20 - bd)
     off2 = 1 << (shift2 - 1)
-    t12 = jnp.asarray(_T12)
-    ohx = (q_rel_x[..., None] + 4 == jnp.arange(12)).astype(jnp.int32)
-    ohy = (q_rel_y[..., None] + 4 == jnp.arange(12)).astype(jnp.int32)
-    tx = jnp.einsum('ijq,qt->ijt', ohx, t12)
-    ty = jnp.einsum('ijq,qt->ijt', ohy, t12)
-    # horizontal over ALL rows (the v-stage needs rows [0, s+11)), then
+    tt = jnp.asarray(table)
+    ohx = (q_rel_x[..., None] - q_lo == jnp.arange(nq)).astype(jnp.int32)
+    ohy = (q_rel_y[..., None] - q_lo == jnp.arange(nq)).astype(jnp.int32)
+    tx = jnp.einsum('ijq,qt->ijt', ohx, tt)
+    ty = jnp.einsum('ijq,qt->ijt', ohy, tt)
+    # horizontal over ALL rows (the v-stage needs every tap row), then
     # int16 truncation, then vertical
     tmp = None
-    for t in range(12):
+    for t in range(nt):
         sl = jax.lax.slice_in_dim(Wext, t, t + s, axis=-1)
         term = tx[..., None, None, t] * sl
         tmp = term if tmp is None else tmp + term
     tmp = (tmp >> shift1).astype(jnp.int16).astype(jnp.int32)
     out = None
-    for t in range(12):
+    for t in range(nt):
         sl = jax.lax.slice_in_dim(tmp, t, t + s, axis=-2)
         term = ty[..., None, None, t] * sl
         out = term if out is None else out + term
