@@ -269,3 +269,25 @@ def test_decode_main_profile_htdf(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} poc {f.poc} luma mismatch"
         assert np.array_equal(f.u, gu), f"{name} poc {f.poc} cb mismatch"
         assert np.array_equal(f.v, gv), f"{name} poc {f.poc} cr mismatch"
+
+
+BTT_CASES = [
+    # AI Main with BTT partitioning (binary/ternary tree, no quad;
+    # xevem_mode.c mode_coding_tree_main), suco off
+    ("s96_btt_ai", 96, 80, 2),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n", BTT_CASES)
+def test_decode_main_profile_btt(name, w, h, n):
+    """BTT split-tree decode: rectangular CUs, btt_split_flag/dir/type
+    syntax with neighbour-size contexts, implicit boundary splits
+    (xevem_eco.c:673, xevem_util.c:42)."""
+    stream = open(os.path.join(DATA, f"{name}.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == n
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, f"{name}_rec.yuv"), w, h, i)
+        assert np.array_equal(f.y, gy), f"{name} frame {i} luma mismatch"
+        assert np.array_equal(f.u, gu), f"{name} frame {i} cb mismatch"
+        assert np.array_equal(f.v, gv), f"{name} frame {i} cr mismatch"

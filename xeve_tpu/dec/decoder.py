@@ -136,6 +136,26 @@ class BaselineIntraDecoder:
         self.h_lcu = (self.h + self.max_cuwh - 1) // self.max_cuwh
         self.w_scu = (self.w + MIN_CU_SIZE - 1) >> MIN_CU_LOG2
         self.h_scu = (self.h + MIN_CU_SIZE - 1) >> MIN_CU_LOG2
+        # BTT split-allow limits from the SPS geometry fields, mirroring
+        # the encoder's split_check derivation (xevem_mode.c:2575-2582,
+        # xevem_util.c:3163-3167): per aspect class, (log2max, log2min)
+        # of the LONG side
+        if s.sps_btt_flag:
+            lg_ctu = self.log2_max_cuwh
+            b11_min = 2 + s.log2_min_cb_size_minus2
+            self.min_cuwh = 1 << b11_min
+            self.split_check = {
+                "b11": (lg_ctu, b11_min),
+                "b12": (lg_ctu, b11_min + 1),
+                "b14": (lg_ctu - s.log2_diff_ctu_max_14_cb_size,
+                        b11_min + 2),
+                "tt": (lg_ctu - s.log2_diff_ctu_max_tt_cb_size,
+                       s.log2_diff_min_cb_min_tt_cb_size_minus2
+                       + b11_min + 2),
+            }
+        else:
+            self.min_cuwh = 4
+            self.split_check = None
 
     # -- slice decode -------------------------------------------------------
     def _derive_poc(self, nut: int, tid: int):
@@ -235,6 +255,8 @@ class BaselineIntraDecoder:
         self.rec_v = np.full((h >> 1, w >> 1), mid, dtype=np.int32)
         # SCU maps
         self.map_cod = np.zeros((self.h_scu, self.w_scu), dtype=bool)
+        self.map_logw = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        self.map_logh = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         self.map_if = np.zeros((self.h_scu, self.w_scu), dtype=bool)
         self.map_skip = np.zeros((self.h_scu, self.w_scu), dtype=bool)
         self.map_ipm = np.full((self.h_scu, self.w_scu), -1, dtype=np.int32)
@@ -350,8 +372,242 @@ class BaselineIntraDecoder:
         return tiles
 
     # -- CTU tree -----------------------------------------------------------
+# -- BTT/TT split tree (Main profile, sps_btt_flag) ---------------------
+
+    # xevem_tbl_split_flag_ctx (xevem_tbl.c:43); NA/NB/NC sentinels keep
+    # the reference values for unreachable shapes
+    _SPLIT_FLAG_CTX = [
+        [255, 4, 4, 14, 15, 15],
+        [4, 4, 3, 3, 2, 2],
+        [4, 3, 3, 2, 2, 1],
+        [14, 3, 2, 2, 1, 1],
+        [15, 2, 2, 1, 1, 0],
+        [15, 2, 1, 1, 0, 0],
+    ]
+
+    def _allow_ratio(self, long_side, ratio):
+        """ALLOW_SPLIT_RATIO (xevem_util.h:41): the ratio selects the
+        aspect class (0 -> 1:1, 1 -> 1:2, 2 -> 1:4); larger disallowed."""
+        if ratio > 2:
+            return False
+        mx, mn = self.split_check[("b11", "b12", "b14")[ratio]]
+        return mn <= long_side <= mx
+
+    def _allow_tri(self, long_side):
+        mx, mn = self.split_check["tt"]
+        return mn <= long_side <= mx
+
+    def _check_split_main(self, lgw, lgh, boundary, boundary_r, x, y):
+        """xeve_check_split_mode (xevem_util.c:42) with sps_btt_flag:
+        returns allow[split_mode] over the SPLIT enum (no quad)."""
+        allow = [False] * 6
+        allow[0] = True                 # NO_SPLIT (implicit in the syntax)
+        cu_max = 1 << (self.log2_max_cuwh - 1)
+        from_boundary_b = (y >= self.h - self.h % cu_max) and \
+            not (x >= self.w - self.w % cu_max)
+        if lgw == lgh:
+            allow[1] = self._allow_ratio(lgw, 1)            # BI_VER
+            allow[2] = self._allow_ratio(lgw, 1)            # BI_HOR
+            allow[3] = self._allow_tri(lgw) and self._allow_ratio(lgw, 2)
+            allow[4] = self._allow_tri(lgh) and self._allow_ratio(lgh, 2)
+        elif lgw > lgh:
+            allow[2] = self._allow_ratio(lgw, lgw - lgh + 1)
+            long_side = max(lgw - 1, lgh)
+            ratio = abs((lgw - 1) - lgh)
+            allow[1] = self._allow_ratio(long_side, ratio)
+            if from_boundary_b and ratio in (3, 4):
+                allow[1] = True
+            allow[3] = self._allow_tri(lgw)
+            allow[4] = False
+        else:
+            long_side = max(lgw, lgh - 1)
+            ratio = abs(lgw - (lgh - 1))
+            allow[2] = self._allow_ratio(long_side, ratio)
+            allow[1] = self._allow_ratio(lgh, lgh - lgw + 1)
+            allow[3] = False
+            allow[4] = self._allow_tri(lgh)
+        if boundary:
+            allow[0] = allow[3] = allow[4] = False
+            if boundary_r:
+                allow[2] = not allow[1]
+            else:
+                if allow[2]:
+                    allow[1] = False
+                else:
+                    allow[1] = True
+        return allow
+
+    def _split_flag_ctx(self, x, y, cuw, cuh):
+        """btt_split_flag context from up/left/right neighbour leaf sizes
+        (xevem_eco.c:780-816)."""
+        if not self.sps.tool_cm_init:
+            return 0
+        x_scu, y_scu = x >> MIN_CU_LOG2, y >> MIN_CU_LOG2
+        scuw = cuw >> MIN_CU_LOG2
+        scup = (y_scu, x_scu)
+        smaller = 0
+        # up
+        if y_scu > 0 and (self.map_tidx[y_scu, x_scu]
+                          == self.map_tidx[y_scu - 1, x_scu]):
+            if (1 << int(self.map_logw[y_scu - 1, x_scu])) < cuw:
+                smaller += 1
+        # left
+        if x_scu > 0 and self.map_cod[y_scu, x_scu - 1] and \
+                (self.map_tidx[y_scu, x_scu]
+                 == self.map_tidx[y_scu, x_scu - 1]):
+            if (1 << int(self.map_logh[y_scu, x_scu - 1])) < cuh:
+                smaller += 1
+        # right
+        if x_scu + scuw < self.w_scu and \
+                self.map_cod[y_scu, x_scu + scuw] and \
+                (self.map_tidx[y_scu, x_scu]
+                 == self.map_tidx[y_scu, x_scu + scuw]):
+            if (1 << int(self.map_logh[y_scu, x_scu + scuw])) < cuh:
+                smaller += 1
+        lgw, lgh = cuw.bit_length() - 1, cuh.bit_length() - 1
+        return min(smaller, 2) + 3 * self._SPLIT_FLAG_CTX[lgw - 2][lgh - 2]
+
+    def _decode_split_mode(self, sbac, ctx, x0, y0, cuw, cuh):
+        """Parse split_mode at an in-bounds node (xevem_eco_split_mode
+        mirrored on the decode side)."""
+        if cuw < 8 and cuh < 8:
+            return 0
+        lgw, lgh = cuw.bit_length() - 1, cuh.bit_length() - 1
+        allow = self._check_split_main(lgw, lgh, 0, 0, x0, y0)
+        if sum(allow[1:]) == 0:
+            return 0
+        cf = self._split_flag_ctx(x0, y0, cuw, cuh)
+        if not sbac.decode_bin(ctx.btt_split_flag, cf):
+            return 0
+        HBT, VBT = allow[2], allow[1]
+        HTT, VTT = allow[4], allow[3]
+        total = HBT + VBT + HTT + VTT
+        ctx_dir = (lgw - lgh + 2) if self.sps.tool_cm_init else 0
+        if total == 4:
+            split_dir = sbac.decode_bin(ctx.btt_split_dir, ctx_dir)
+            split_typ = sbac.decode_bin(ctx.btt_split_type, 0)
+        elif total == 3:
+            split_dir = sbac.decode_bin(ctx.btt_split_dir, ctx_dir)
+            if not HBT or not HTT:
+                if split_dir:
+                    split_typ = sbac.decode_bin(ctx.btt_split_type, 0)
+                else:
+                    split_typ = 0 if HBT else 1
+            else:
+                if not split_dir:
+                    split_typ = sbac.decode_bin(ctx.btt_split_type, 0)
+                else:
+                    split_typ = 0 if VBT else 1
+        elif total == 2:
+            if (HBT and HTT) or (VBT and VTT):
+                split_dir = 0 if HBT else 1
+                split_typ = sbac.decode_bin(ctx.btt_split_type, 0)
+            else:
+                split_dir = sbac.decode_bin(ctx.btt_split_dir, ctx_dir)
+                if not HTT and not VTT:
+                    split_typ = 0
+                elif HBT and VTT:
+                    split_typ = split_dir
+                else:   # VBT and HTT
+                    split_typ = 1 - split_dir
+        else:
+            split_dir = 1 if (VBT or VTT) else 0
+            split_typ = 1 if (HTT or VTT) else 0
+        if split_typ:
+            return 3 if split_dir else 4        # TRI_VER / TRI_HOR
+        return 1 if split_dir else 2            # BI_VER / BI_HOR
+
+    @staticmethod
+    def _split_parts(split_mode, x0, y0, cuw, cuh):
+        """Sub-part geometry (xeve_split_get_part_structure_main)."""
+        if split_mode == 1:      # BI_VER
+            half = cuw >> 1
+            return [(x0, y0, half, cuh), (x0 + half, y0, half, cuh)]
+        if split_mode == 2:      # BI_HOR
+            half = cuh >> 1
+            return [(x0, y0, cuw, half), (x0, y0 + half, cuw, half)]
+        if split_mode == 3:      # TRI_VER: 1/4, 1/2, 1/4
+            q = cuw >> 2
+            return [(x0, y0, q, cuh), (x0 + q, y0, cuw >> 1, cuh),
+                    (x0 + q + (cuw >> 1), y0, q, cuh)]
+        if split_mode == 4:      # TRI_HOR
+            q = cuh >> 2
+            return [(x0, y0, cuw, q), (x0, y0 + q, cuw, cuh >> 1),
+                    (x0, y0 + q + (cuh >> 1), cuw, q)]
+        raise DecodeError(f"bad split mode {split_mode}")
+
+    def _decode_suco_flag(self, sbac, ctx, cuw, cuh, split_mode, boundary):
+        """xevem_eco_suco_flag + xeve_check_suco_cond mirrored."""
+        s = self.sps
+        if not s.sps_suco_flag:
+            return 0
+        suco_log2_max = min(self.log2_max_cuwh
+                            - s.log2_diff_ctu_size_max_suco_cb_size, 6)
+        suco_log2_min = max(suco_log2_max
+                            - s.log2_diff_max_suco_min_suco_cb_size,
+                            max(4, self.min_cuwh.bit_length() - 1))
+        if min(cuw, cuh) < (1 << suco_log2_min) or \
+                max(cuw, cuh) > (1 << suco_log2_max):
+            return 0
+        if boundary or split_mode in (0, 2, 4):
+            return 0
+        if split_mode != 5 and cuw <= cuh:
+            return 0
+        if self.sps.tool_cm_init:
+            c = max(cuw, cuh).bit_length() - 1 - 2
+            c = c * 2 if cuw == cuh else c * 2 + 1
+        else:
+            c = 0
+        flag = sbac.decode_bin(ctx.suco_flag, c)
+        self._tr(f"suco flag {flag} ")
+        return flag
+
+    def _decode_tree_main(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0,
+                          cuw, cuh, cud=0, dqp_code=0):
+        """Main-profile coding tree with BTT splits (xevem_eco_tree
+        mirrored; SUCO reverses the traversal order of vertical parts)."""
+        in_bounds = (x0 + cuw <= self.w) and (y0 + cuh <= self.h)
+        if in_bounds:
+            split = self._decode_split_mode(sbac, ctx, x0, y0, cuw, cuh)
+        else:
+            lgw, lgh = cuw.bit_length() - 1, cuh.bit_length() - 1
+            boundary_r = (x0 + cuw > self.w) and not (y0 + cuh > self.h)
+            allow = self._check_split_main(lgw, lgh, 1, boundary_r, x0, y0)
+            split = 1 if allow[1] else 2
+        self._tr(f"x pos {x0} y pos {y0} width {cuw} height {cuh} "
+                 f"depth {cud} split mode {split} ")
+        if self.pps.cu_qp_delta_enabled_flag and self.sps.dquant_flag:
+            lw, lh = cuw.bit_length() - 1, cuh.bit_length() - 1
+            area = self.pps.cu_qp_delta_area
+            if split == 0 and lw + lh >= area and dqp_code != 2:
+                dqp_code = 2 if (lw == 7 or lh == 7) else 1
+                self.dqp_is_coded = False
+            elif ((lw + lh == area + 1 and split in (3, 4))
+                  or (lw + lh == area and dqp_code != 2)) and split != 0:
+                dqp_code = 2
+                self.dqp_is_coded = False
+        if split:
+            suco = self._decode_suco_flag(sbac, ctx, cuw, cuh, split,
+                                          0 if in_bounds else 1)
+            parts = self._split_parts(split, x0, y0, cuw, cuh)
+            if suco:
+                parts = parts[::-1]
+            for (xp, yp, wp, hp) in parts:
+                if xp < self.w and yp < self.h:
+                    self._decode_tree_main(sbac, ctx, xp, yp, wp, hp,
+                                           cud + (2 if split in (3, 4)
+                                                  else 1), dqp_code)
+        else:
+            if not in_bounds:
+                raise DecodeError("leaf CU crossing the picture boundary")
+            self._decode_cu(sbac, ctx, x0, y0, cuw, cuh, dqp_code)
+
     def _decode_tree(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0, cuw, cuh,
                      cud=0, dqp_code=0):
+        if self.sps.sps_btt_flag:
+            self._decode_tree_main(sbac, ctx, x0, y0, cuw, cuh, cud,
+                                   dqp_code)
+            return
         in_bounds = (x0 + cuw <= self.w) and (y0 + cuh <= self.h)
         if cuw < 8 and cuh < 8:
             split = 0
@@ -737,6 +993,8 @@ class BaselineIntraDecoder:
         ys, xs = y_scu, x_scu
         hs, ws = cuh >> MIN_CU_LOG2, cuw >> MIN_CU_LOG2
         self.map_cod[ys:ys + hs, xs:xs + ws] = True
+        self.map_logw[ys:ys + hs, xs:xs + ws] = cuw.bit_length() - 1
+        self.map_logh[ys:ys + hs, xs:xs + ws] = cuh.bit_length() - 1
         self.map_if[ys:ys + hs, xs:xs + ws] = mode_intra
         self.map_skip[ys:ys + hs, xs:xs + ws] = bool(skip)
         self.map_ipm[ys:ys + hs, xs:xs + ws] = ipm if mode_intra else 0

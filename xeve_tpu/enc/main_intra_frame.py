@@ -20,7 +20,7 @@ from ..ops import reference_kernels as rk
 from ..ops import intra_main_np as im
 from ..ops.deblock_np import deblock_frame
 from . import syntax, syntax_main
-from .rdoq import rdoq_block, bit_est_tables
+from .rdoq import rdoq_block_adcc, bit_est_tables
 from .analysis_np import AnalysisResult
 
 
@@ -177,9 +177,9 @@ class MainIntraFramePass:
             else:
                 coef_y = rk.forward_ats(resi, 0, bd)
             if self.use_rdoq:
-                lev_c, nnz = rdoq_block(coef_y, self.qp_y, self.lam, SLICE_I,
-                                        0, True, bd, self.est,
-                                        tool_iqt=self.iqt)
+                lev_c, nnz = rdoq_block_adcc(coef_y, self.qp_y, self.lam,
+                                             0, True, bd, self.est,
+                                             tool_iqt=self.iqt)
             else:
                 lev_c, nnz = rk.quant(coef_y, self.qp_y, SLICE_I, bd,
                                       tool_iqt=self.iqt)
@@ -221,8 +221,9 @@ class MainIntraFramePass:
             resi = orig[yc:yc + sc, xc:xc + sc].astype(np.int32) - pred
             coef = rk.forward_dct2(resi, bd)
             if self.use_rdoq:
-                lev, nnz = rdoq_block(coef, qp_c, lam_c, SLICE_I, ch,
-                                      True, bd, self.est, tool_iqt=self.iqt)
+                lev, nnz = rdoq_block_adcc(coef, qp_c, lam_c, ch,
+                                           True, bd, self.est,
+                                           tool_iqt=self.iqt)
             else:
                 lev, nnz = rk.quant(coef, qp_c, SLICE_I, bd,
                                     tool_iqt=self.iqt)

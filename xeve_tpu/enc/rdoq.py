@@ -38,6 +38,14 @@ def bit_est_tables(ctx: SbacCtx):
     est['run'] = [[biari_no_bits(b, m) for b in (0, 1)] for m in ctx.run]
     est['level'] = [[biari_no_bits(b, m) for b in (0, 1)] for m in ctx.level]
     est['last'] = [[biari_no_bits(b, m) for b in (0, 1)] for m in ctx.last]
+    est['sig'] = [[biari_no_bits(b, m) for b in (0, 1)]
+                  for m in ctx.sig_coeff_flag]
+    est['gtAB'] = [[biari_no_bits(b, m) for b in (0, 1)]
+                   for m in ctx.coeff_abs_level_greaterAB_flag]
+    est['lastx'] = [[biari_no_bits(b, m) for b in (0, 1)]
+                    for m in ctx.last_sig_coeff_x_prefix]
+    est['lasty'] = [[biari_no_bits(b, m) for b in (0, 1)]
+                    for m in ctx.last_sig_coeff_y_prefix]
     return est
 
 
@@ -154,4 +162,198 @@ def rdoq_block(coef: np.ndarray, qp: int, lam_f: float, slice_type: int,
     signed = np.where(sgn_s, -levels, levels)
     out[scan] = signed
     nnz = int(np.count_nonzero(levels[:best_last_p1]))
+    return out.reshape(h, w), nnz
+
+
+def _ic_rate_adcc(est, abs_level, ctx_gtA, ctx_gtB, rparam, c1_idx, c2_idx):
+    """Coded-level rate under the ADCC model (xevem_tq.c get_ic_rate)."""
+    from ..entropy.adcc import GO_RICE_RANGE
+    rate = GET_IEP_RATE
+    base_level = (2 + (1 if c2_idx < 1 else 0)) if c1_idx < 8 else 1
+    if abs_level >= base_level:
+        symbol = abs_level - base_level
+        if symbol < (GO_RICE_RANGE[rparam] << rparam):
+            length = symbol >> rparam
+            rate += (length + 1 + rparam) << 15
+        else:
+            length = rparam
+            symbol -= GO_RICE_RANGE[rparam] << rparam
+            while symbol >= (1 << length):
+                symbol -= 1 << length
+                length += 1
+            rate += (GO_RICE_RANGE[rparam] + length + 1 - rparam
+                     + length) << 15
+        if c1_idx < 8:
+            rate += est['gtAB'][ctx_gtA][1]
+            if c2_idx < 1:
+                rate += est['gtAB'][ctx_gtB][1]
+    elif abs_level == 1:
+        rate += est['gtAB'][ctx_gtA][0]
+    elif abs_level == 2:
+        rate += est['gtAB'][ctx_gtA][1] + est['gtAB'][ctx_gtB][0]
+    else:
+        rate = 0
+    return rate
+
+
+def _rate_last_xy_adcc(est, pos_x, pos_y, w, h, ch_type, lam):
+    from ..entropy.adcc import GROUP_IDX, last_pos_xy_para
+    off = 0 if ch_type == 0 else 18
+    bx, by, sx, sy = last_pos_xy_para(ch_type, w, h)
+    gx, gy = GROUP_IDX[pos_x], GROUP_IDX[pos_y]
+    rate = 0
+    for b in range(gx):
+        rate += est['lastx'][off + bx + (b >> sx)][1]
+    if gx < GROUP_IDX[w - 1]:
+        rate += est['lastx'][off + bx + (gx >> sx)][0]
+    for b in range(gy):
+        rate += est['lasty'][off + by + (b >> sy)][1]
+    if gy < GROUP_IDX[h - 1]:
+        rate += est['lasty'][off + by + (gy >> sy)][0]
+    if gx > 3:
+        rate += ((gx - 2) >> 1) * GET_IEP_RATE
+    if gy > 3:
+        rate += ((gy - 2) >> 1) * GET_IEP_RATE
+    return rate * lam
+
+
+def rdoq_block_adcc(coef: np.ndarray, qp: int, lam_f: float, ch_type: int,
+                    cu_is_intra: bool, bit_depth: int, est,
+                    tool_iqt: int = 1):
+    """ADCC-aware RDOQ for one square transform block: level decisions are
+    optimized against the sig-map + gtA/gtB + remainder exp-Golomb rate
+    model the ADCC coder actually uses (xevem_tq.c xeve_rdoq_method_adcc)
+    instead of the run-length model.  Returns (levels, nnz)."""
+    from ..entropy.adcc import (ctx_sig_coeff_inc, ctx_gtx_inc, rice_para)
+    h, w = coef.shape
+    log2_w = w.bit_length() - 1
+    qp_rem = qp % 6
+    q_value = int(QUANT_SCALE[tool_iqt][qp_rem])
+    log2_size = log2_w
+    tr_shift = MAX_TX_DYNAMIC_RANGE - bit_depth - log2_size
+    q_bits = QUANT_SHIFT + tr_shift + qp // 6
+    lam = int(lam_f * (1 << SCALE_BITS) + 0.5)
+    es = err_scale(qp_rem, log2_size, bit_depth, tool_iqt)
+    scan = SCAN[(w, h)]
+    flat = coef.reshape(-1).astype(np.int64)
+    num = w * h
+
+    level_double = np.minimum(np.abs(flat) * q_value,
+                              (2 ** 31 - 1) - (1 << (q_bits - 1)))
+    max_abs = np.minimum(32767,
+                         (level_double + (1 << (q_bits - 1))) >> q_bits)
+    err0 = (level_double * es) >> ERR_SCALE_PRECISION_BITS
+    pd_coeff0 = err0 * err0
+    block_uncoded = int(pd_coeff0.sum())
+    if int(max_abs.sum()) == 0:
+        return np.zeros((h, w), dtype=np.int32), 0
+
+    ma_s = max_abs[scan]
+    nz_sp = np.nonzero(ma_s)[0]
+    last_sp = int(nz_sp[-1])
+    last_bp = int(scan[last_sp])
+    num_nz = len(nz_sp)
+
+    offset1 = 0 if ch_type == 0 else 13
+    offset0 = ((0 if log2_size <= 2 else 13 << min(1, log2_size - 3))
+               if ch_type == 0 else 39)
+
+    cdst2 = max_abs.copy()      # evolving level map (raster)
+    pd_coeff = np.zeros(num, dtype=np.int64)
+    pd_sig = np.zeros(num, dtype=np.int64)
+    is_last_nz = 0
+    ipos = last_sp
+    BIG = 1 << 62
+    for sub_set in range(last_sp >> 4, -1, -1):
+        sub_pos = sub_set << 4
+        c1_idx = c2_idx = 0
+        while ipos >= sub_pos:
+            bp = int(scan[ipos])
+            ld = int(level_double[bp])
+            ma = int(cdst2[bp])
+            bypass = (bp == last_bp)
+            gA = ctx_gtx_inc(cdst2, bp, w, h, ch_type, 1)
+            gB = ctx_gtx_inc(cdst2, bp, w, h, ch_type, 2)
+            ctx_sig = ctx_sig_coeff_inc(cdst2, bp, w, h, ch_type) + offset0
+            if ma != 0 and is_last_nz == 0:
+                gA = gB = 0
+            gA += offset1
+            gB += offset1
+            base_level = (2 + (1 if c2_idx < 1 else 0)) if c1_idx < 8 else 1
+            rparam = rice_para(cdst2, bp, w, h, base_level)
+            best_lvl = 0
+            cost_sig1 = 0
+            if not bypass and ma < 3:
+                pd_sig[bp] = est['sig'][ctx_sig][0] * lam
+                pd_coeff[bp] = int(pd_coeff0[bp]) + pd_sig[bp]
+                if ma == 0:
+                    cdst2[bp] = 0
+                    ipos -= 1
+                    continue
+            else:
+                pd_coeff[bp] = BIG
+            if not bypass:
+                cost_sig1 = est['sig'][ctx_sig][1] * lam
+            mn = ma - 1 if ma > 1 else 1
+            for lvl in range(ma, mn - 1, -1):
+                errd = ld - (lvl << q_bits)
+                rate = _ic_rate_adcc(est, lvl, gA, gB, rparam,
+                                     c1_idx, c2_idx)
+                errd = (errd * es) >> ERR_SCALE_PRECISION_BITS
+                c = errd * errd + rate * lam + cost_sig1
+                if c < pd_coeff[bp]:
+                    best_lvl = lvl
+                    pd_coeff[bp] = c
+                    pd_sig[bp] = cost_sig1
+            cdst2[bp] = best_lvl
+            if best_lvl > 0:
+                is_last_nz = 1
+                c1_idx += 1
+                if best_lvl > 1:
+                    c2_idx += 1
+            elif ma:
+                num_nz -= 1
+                if num_nz == 0:
+                    return np.zeros((h, w), dtype=np.int32), 0
+            ipos -= 1
+    if num_nz == 0:
+        return np.zeros((h, w), dtype=np.int32), 0
+
+    cost_base = block_uncoded
+    for sp in range(last_sp, -1, -1):
+        bp = int(scan[sp])
+        cost_base += int(pd_coeff[bp]) - int(pd_coeff0[bp])
+    if not cu_is_intra and ch_type == 0:
+        cost_best = block_uncoded + est['cbf_all'][0] * lam
+        cost_base += est['cbf_all'][1] * lam
+    else:
+        key = ('cbf_luma', 'cbf_cb', 'cbf_cr')[ch_type]
+        cost_best = block_uncoded + est[key][0] * lam
+        cost_base += est[key][1] * lam
+
+    best_last_p1 = 0
+    for sp in range(last_sp, -1, -1):
+        bp = int(scan[sp])
+        if cdst2[bp] > 0:
+            pos_y = bp >> log2_w
+            pos_x = bp - (pos_y << log2_w)
+            cost_last = _rate_last_xy_adcc(est, pos_x, pos_y, w, h,
+                                           ch_type, lam)
+            total = cost_base + cost_last - int(pd_sig[bp])
+            if total < cost_best:
+                best_last_p1 = sp + 1
+                cost_best = total
+            if cdst2[bp] > 1:
+                break
+            cost_base += int(pd_coeff0[bp]) - int(pd_coeff[bp])
+        else:
+            cost_base -= int(pd_sig[bp])
+
+    out = np.zeros(num, dtype=np.int32)
+    nnz = 0
+    for sp in range(best_last_p1):
+        bp = int(scan[sp])
+        if cdst2[bp]:
+            out[bp] = -int(cdst2[bp]) if flat[bp] < 0 else int(cdst2[bp])
+            nnz += 1
     return out.reshape(h, w), nnz

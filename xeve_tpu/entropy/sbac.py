@@ -55,6 +55,8 @@ class SbacCtx:
         "last_sig_coeff_x_prefix", "last_sig_coeff_y_prefix",
         "ats_mode", "ats_cu_inter_flag", "ats_cu_inter_quad_flag",
         "ats_cu_inter_hor_flag", "ats_cu_inter_pos_flag",
+        "btt_split_flag", "btt_split_dir", "btt_split_type",
+        "suco_flag", "mode_cons",
     )
 
     # field -> (init-table name, context count)
@@ -91,6 +93,12 @@ class SbacCtx:
         "ats_cu_inter_quad_flag": ("ats_cu_inter_quad_flag", 1),
         "ats_cu_inter_hor_flag": ("ats_cu_inter_hor_flag", 3),
         "ats_cu_inter_pos_flag": ("ats_cu_inter_pos_flag", 1),
+        # Main BTT/SUCO tree syntax (xevem_eco.c:673,1787)
+        "btt_split_flag": ("btt_split_flag", 15),
+        "btt_split_dir": ("btt_split_dir", 5),
+        "btt_split_type": ("btt_split_type", 1),
+        "suco_flag": ("suco_flag", 14),
+        "mode_cons": ("mode_cons", 3),
     }
 
     def __init__(self, slice_type=None, slice_qp=0, cm_init=0):

@@ -441,6 +441,8 @@ static inline int32_t xt_biari_no_bits(int sym, uint16_t model)
 typedef struct {
     int32_t cbf_luma[2], cbf_cb[2], cbf_cr[2], cbf_all[2];
     int32_t run[24][2], level[24][2], last[2][2];
+    /* ADCC models (xevem_eco.c syntax; filled only when tool_adcc) */
+    int32_t sig[47][2], gtAB[18][2], lastx[21][2], lasty[21][2];
 } XtRdoqEst;
 
 static void xt_rdoq_est(const XtCtx *c, XtRdoqEst *e)
@@ -456,6 +458,14 @@ static void xt_rdoq_est(const XtCtx *c, XtRdoqEst *e)
         }
         for (int x = 0; x < 2; x++)
             e->last[x][b] = xt_biari_no_bits(b, c->last[x]);
+        for (int x = 0; x < 47; x++)
+            e->sig[x][b] = xt_biari_no_bits(b, c->sig_coeff_flag[x]);
+        for (int x = 0; x < 18; x++)
+            e->gtAB[x][b] = xt_biari_no_bits(b, c->coeff_gtAB[x]);
+        for (int x = 0; x < 21; x++) {
+            e->lastx[x][b] = xt_biari_no_bits(b, c->last_sig_x_prefix[x]);
+            e->lasty[x][b] = xt_biari_no_bits(b, c->last_sig_y_prefix[x]);
+        }
     }
 }
 
@@ -585,6 +595,12 @@ static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
     }
     return nnz;
 }
+
+/* ADCC-aware RDOQ (xevem_tq.c xeve_rdoq_method_adcc semantics);
+   defined after the ADCC context helpers it shares with the writer */
+static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
+                        double lam_f, int ch_type, int bd,
+                        const XtRdoqEst *e, int cu_is_intra, int iqt);
 
 /* ------------------------------------------------------------------ */
 /* Intra prediction (xeve_ipred.c semantics)                           */
@@ -1501,11 +1517,12 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
     const int32_t *pred_y, const int32_t *pred_u, const int32_t *pred_v,
     int32_t *lev_y, int32_t *lev_u, int32_t *lev_v,
     int *nnz_y, int *nnz_u, int *nnz_v,
-    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v)
+    int32_t *rec_y, int32_t *rec_u, int32_t *rec_v, int cu_is_intra)
 {
     const XtFrameCfg *cfg = f->cfg;
     int n = 1 << lg, bd = cfg->bd, W = cfg->w;
     int slice_is_i = (f->slice_type == 2);
+    int adcc = cfg->main_eipd;   /* Main toolset bundles ADCC */
     int iqt = cfg->tool_iqt;
     XtCuWork *wk = (XtCuWork *)f->scratch;
     int32_t *resi = wk->tq_resi, *coef = wk->tq_coef;
@@ -1516,7 +1533,10 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
         for (int j = 0; j < n; j++)
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
     xt_fwd_dct2(resi, coef, lg, bd);
-    if (cfg->use_rdoq)
+    if (cfg->use_rdoq && adcc)
+        *nnz_y = xt_rdoq_adcc(coef, lev_y, lg, f->qp_y, f->lam, 0, bd,
+                              &f->est, cu_is_intra, iqt);
+    else if (cfg->use_rdoq)
         *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i, iqt);
     else
         *nnz_y = xt_quant(coef, lev_y, lg, f->qp_y, slice_is_i, bd, iqt);
@@ -1552,7 +1572,11 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
                 resi[i * nc + j] = (int32_t)origs[ch][(yc + i) * Wc + xc + j]
                                    - preds[ch][i * nc + j];
         xt_fwd_dct2(resi, coef, lg - 1, bd);
-        if (cfg->use_rdoq)
+        if (cfg->use_rdoq && adcc)
+            *nnzs[ch] = xt_rdoq_adcc(coef, levs[ch], lg - 1, qpc[ch],
+                                     lamc[ch], ch + 1, bd, &f->est,
+                                     cu_is_intra, iqt);
+        else if (cfg->use_rdoq)
             *nnzs[ch] = xt_rdoq(coef, levs[ch], lg - 1, qpc[ch], lamc[ch],
                                 ch + 1, bd, &f->est, slice_is_i, iqt);
         else
@@ -1931,7 +1955,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                                      wk->c1_py, wk->c1_pu, wk->c1_pv,
                                      wk->dir_ly, wk->dir_lu, wk->dir_lv,
                                      &dn_y, &dn_u, &dn_v,
-                                     wk->dir_ry, wk->dir_ru, wk->dir_rv);
+                                     wk->dir_ry, wk->dir_ru, wk->dir_rv, 0);
         int64_t dbins = 3 + xt_coef_bins(wk->dir_ly, s * s, dn_y)
                           + xt_coef_bins(wk->dir_lu, sc * sc, dn_u)
                           + xt_coef_bins(wk->dir_lv, sc * sc, dn_v);
@@ -2063,7 +2087,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                                   wk->ib_py, wk->ib_pu, wk->ib_pv,
                                   wk->in_ly, wk->in_lu, wk->in_lv,
                                   &in_y, &in_u, &in_v,
-                                  wk->in_ry, wk->in_ru, wk->in_rv);
+                                  wk->in_ry, wk->in_ru, wk->in_rv, 0);
     int64_t bins_inter = 2 + var_extra_sel + 3
         + xt_coef_bins(wk->in_ly, s * s, in_y)
         + xt_coef_bins(wk->in_lu, sc * sc, in_u)
@@ -2098,7 +2122,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                                   wk->ip_py, wk->ip_pu, wk->ip_pv,
                                   wk->it_ly, wk->it_lu, wk->it_lv,
                                   &it_y, &it_u, &it_v,
-                                  wk->it_ry, wk->it_ru, wk->it_rv);
+                                  wk->it_ry, wk->it_ru, wk->it_rv, 1);
     int64_t bins_intra = 2 + 3 + 3
         + xt_coef_bins(wk->it_ly, s * s, it_y)
         + xt_coef_bins(wk->it_lu, sc * sc, it_u)
@@ -3125,6 +3149,254 @@ static void xt_last_pos_para(int ch_type, int w, int h,
     if (ch >= 4) { *by += ((h >> 6) << 1) + (h >> 7); *sy = 2; }
 }
 
+/* sig-coeff ctx inc on the evolving level map, also counting the gtA/gtB
+   neighbour templates in the same sweep (xevem_tq.c
+   get_ctx_sig_coeff_inc_rdoq) */
+static int xt_ctx_sig_rdoq(const int32_t *lev, int blkpos, int w, int h,
+                           int ch_type, int *gA, int *gB)
+{
+    int log2_w = xt_adcc_log2(w);
+    int pos_y = blkpos >> log2_w;
+    int pos_x = blkpos - (pos_y << log2_w);
+    int diag = pos_x + pos_y;
+    int n_sig = 0, n_a = 0, n_b = 0;
+    const int32_t *p = lev + blkpos;
+#define XT_ACC(v) do { int32_t a_ = (v) < 0 ? -(v) : (v); \
+        n_sig += (a_ != 0); n_a += (a_ > 1); n_b += (a_ > 2); } while (0)
+    if (pos_x < w - 1) {
+        XT_ACC(p[1]);
+        if (pos_x < w - 2) XT_ACC(p[2]);
+        if (pos_y < h - 1) XT_ACC(p[w + 1]);
+    }
+    if (pos_y < h - 1) {
+        XT_ACC(p[w]);
+        if (pos_y < h - 2) XT_ACC(p[2 * w]);
+    }
+#undef XT_ACC
+    int ctx_idx = (n_sig < 4 ? n_sig : 4) + 1;
+    if (diag < 2 && ctx_idx > 2) ctx_idx = 2;
+    int ctx_ofs = (ch_type == 0) ? (diag < 2 ? 0 : (diag < 5 ? 2 : 7))
+                                 : (diag < 2 ? 0 : 2);
+    *gA = (n_a < 3 ? n_a : 3) + 1;
+    *gB = (n_b < 3 ? n_b : 3) + 1;
+    if (ch_type == 0) {
+        int d = (diag < 3) ? 0 : ((diag < 10) ? 4 : 8);
+        *gA += d;
+        *gB += d;
+    }
+    return ctx_ofs + ctx_idx;
+}
+
+#define XT_I_COST(r) (((int64_t)(r)) * lam)
+
+/* coded-level rate under the ADCC model (xevem_tq.c get_ic_rate) */
+static int64_t xt_ic_rate_adcc(const XtRdoqEst *e, int abs_level,
+                               int ctx_gtA, int ctx_gtB, int rparam,
+                               int c1_idx, int c2_idx)
+{
+    int64_t rate = XT_GET_IEP_RATE;   /* sign bit */
+    int base_level = (c1_idx < 8) ? (2 + (c2_idx < 1 ? 1 : 0)) : 1;
+    if (abs_level >= base_level) {
+        int symbol = abs_level - base_level;
+        int length;
+        if (symbol < (XT_GO_RICE_RANGE[rparam] << rparam)) {
+            length = symbol >> rparam;
+            rate += (int64_t)(length + 1 + rparam) << 15;
+        } else {
+            length = rparam;
+            symbol -= (XT_GO_RICE_RANGE[rparam] << rparam);
+            while (symbol >= (1 << length)) symbol -= (1 << (length++));
+            rate += (int64_t)(XT_GO_RICE_RANGE[rparam] + length + 1
+                              - rparam + length) << 15;
+        }
+        if (c1_idx < 8) {
+            rate += e->gtAB[ctx_gtA][1];
+            if (c2_idx < 1) rate += e->gtAB[ctx_gtB][1];
+        }
+    } else if (abs_level == 1) {
+        rate += e->gtAB[ctx_gtA][0];
+    } else if (abs_level == 2) {
+        rate += e->gtAB[ctx_gtA][1] + e->gtAB[ctx_gtB][0];
+    } else {
+        rate = 0;
+    }
+    return rate;
+}
+
+static int64_t xt_rate_last_xy(const XtRdoqEst *e, int pos_x, int pos_y,
+                               int w, int h, int ch_type, int64_t lam)
+{
+    int off = (ch_type == 0) ? 0 : 18;
+    int bx, by, sx, sy;
+    xt_last_pos_para(ch_type, w, h, &bx, &by, &sx, &sy);
+    int gx = XT_GROUP_IDX[pos_x], gy = XT_GROUP_IDX[pos_y];
+    int64_t rate = 0;
+    int bin;
+    for (bin = 0; bin < gx; bin++)
+        rate += e->lastx[off + bx + (bin >> sx)][1];
+    if (gx < XT_GROUP_IDX[w - 1])
+        rate += e->lastx[off + bx + (gx >> sx)][0];
+    for (bin = 0; bin < gy; bin++)
+        rate += e->lasty[off + by + (bin >> sy)][1];
+    if (gy < XT_GROUP_IDX[h - 1])
+        rate += e->lasty[off + by + (gy >> sy)][0];
+    if (gx > 3) rate += (int64_t)((gx - 2) >> 1) * XT_GET_IEP_RATE;
+    if (gy > 3) rate += (int64_t)((gy - 2) >> 1) * XT_GET_IEP_RATE;
+    return XT_I_COST(rate);
+}
+
+static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
+                        double lam_f, int ch_type, int bd,
+                        const XtRdoqEst *e, int cu_is_intra, int iqt)
+{
+    int n = 1 << lg, w = n, h = n;
+    int num = n * n;
+    int qp_rem = qp % 6;
+    int q_value = iqt ? XT_QUANT_SCALE_IQT[qp_rem] : XT_QUANT_SCALE[qp_rem];
+    int tr_shift = 15 - bd - lg;
+    int q_bits = 14 + tr_shift + qp / 6;
+    int64_t lam = (int64_t)(lam_f * (double)(1 << 15) + 0.5);
+    int64_t es = xt_err_scale(qp_rem, lg, bd, iqt);
+    const uint16_t *scan = XT_SCAN[lg];
+
+    static __thread int64_t ldbl[64 * 64];
+    static __thread int32_t cdst[64 * 64];
+    static __thread int64_t pd_coeff[64 * 64], pd_coeff0[64 * 64],
+                            pd_sig[64 * 64];
+    int64_t block_uncoded = 0;
+    int sum_all = 0, num_nz = 0, last_sp = -1, last_bp = -1;
+    for (int sp = 0; sp < num; sp++) {
+        int bp = scan[sp];
+        int64_t a = coef[bp] < 0 ? -(int64_t)coef[bp] : coef[bp];
+        int64_t ld = a * q_value;
+        int64_t cap = 2147483647ll - (1ll << (q_bits - 1));
+        if (ld > cap) ld = cap;
+        ldbl[bp] = ld;
+        int ma = (int)((ld + (1ll << (q_bits - 1))) >> q_bits);
+        if (ma > 32767) ma = 32767;
+        cdst[bp] = ma;
+        int64_t err = (ld * es) >> 20;
+        pd_coeff0[bp] = err * err;
+        block_uncoded += pd_coeff0[bp];
+        sum_all += ma;
+        if (ma) { num_nz++; last_sp = sp; last_bp = bp; }
+    }
+    if (sum_all == 0) { memset(dst, 0, sizeof(int32_t) * num); return 0; }
+
+    int offset1 = (ch_type == 0) ? 0 : 13;
+    int offset0 = (ch_type == 0)
+                  ? ((lg <= 2) ? 0
+                     : 13 << ((lg - 3) < 1 ? (lg - 3) : 1))
+                  : 39;
+
+    int is_last_nz = 0;
+    int ipos = last_sp;
+    for (int sub_set = last_sp >> 4; sub_set >= 0; sub_set--) {
+        int sub_pos = sub_set << 4;
+        int c1_idx = 0, c2_idx = 0;
+        for (; ipos >= sub_pos; ipos--) {
+            int bp = scan[ipos];
+            int64_t ld = ldbl[bp];
+            int ma = cdst[bp];
+            int bypass_sig = (bp == last_bp);
+            int gA = 0, gB = 0;
+            int ctx_sig = xt_ctx_sig_rdoq(cdst, bp, w, h, ch_type,
+                                          &gA, &gB) + offset0;
+            if (ma != 0 && is_last_nz == 0) { gA = 0; gB = 0; }
+            gA += offset1;
+            gB += offset1;
+            int base_level = (c1_idx < 8) ? (2 + (c2_idx < 1 ? 1 : 0)) : 1;
+            int rparam = xt_rice_para(cdst, bp, w, h, base_level);
+
+            /* get_coded_level */
+            int best_lvl = 0;
+            int64_t cost_sig1 = 0;
+            if (!bypass_sig && ma < 3) {
+                pd_sig[bp] = XT_I_COST(e->sig[ctx_sig][0]);
+                pd_coeff[bp] = pd_coeff0[bp] + pd_sig[bp];
+                if (ma == 0) { cdst[bp] = 0; continue; }
+            } else {
+                pd_coeff[bp] = INT64_MAX;
+            }
+            if (!bypass_sig)
+                cost_sig1 = XT_I_COST(e->sig[ctx_sig][1]);
+            int mn = ma > 1 ? ma - 1 : 1;
+            for (int lvl = ma; lvl >= mn; lvl--) {
+                int64_t err = ld - ((int64_t)lvl << q_bits);
+                int64_t rate = xt_ic_rate_adcc(e, lvl, gA, gB, rparam,
+                                               c1_idx, c2_idx);
+                err = (err * es) >> 20;
+                int64_t c = err * err + XT_I_COST(rate) + cost_sig1;
+                if (c < pd_coeff[bp]) {
+                    best_lvl = lvl;
+                    pd_coeff[bp] = c;
+                    pd_sig[bp] = cost_sig1;
+                }
+            }
+            cdst[bp] = best_lvl;
+            if (best_lvl > 0) {
+                if (!is_last_nz) is_last_nz = 1;
+                c1_idx++;
+                if (best_lvl > 1) c2_idx++;
+            } else if (ma) {
+                num_nz--;
+                if (num_nz == 0) {
+                    memset(dst, 0, sizeof(int32_t) * num);
+                    return 0;
+                }
+            }
+        }
+    }
+    if (num_nz == 0) { memset(dst, 0, sizeof(int32_t) * num); return 0; }
+
+    int64_t cost_base = block_uncoded;
+    for (int sp = last_sp; sp >= 0; sp--) {
+        int bp = scan[sp];
+        cost_base += pd_coeff[bp] - pd_coeff0[bp];
+    }
+    int64_t cost_best;
+    if (cu_is_intra == 0 && ch_type == 0) {
+        cost_best = block_uncoded + XT_I_COST(e->cbf_all[0]);
+        cost_base += XT_I_COST(e->cbf_all[1]);
+    } else {
+        const int32_t *cbf = (ch_type == 0) ? e->cbf_luma
+                             : (ch_type == 1) ? e->cbf_cb : e->cbf_cr;
+        cost_best = block_uncoded + XT_I_COST(cbf[0]);
+        cost_base += XT_I_COST(cbf[1]);
+    }
+
+    int best_last_p1 = 0;
+    for (int sp = last_sp; sp >= 0; sp--) {
+        int bp = scan[sp];
+        if (cdst[bp] > 0) {
+            int pos_y = bp >> lg;
+            int pos_x = bp - (pos_y << lg);
+            int64_t cost_last = xt_rate_last_xy(e, pos_x, pos_y, w, h,
+                                                ch_type, lam);
+            int64_t total = cost_base + cost_last - pd_sig[bp];
+            if (total < cost_best) {
+                best_last_p1 = sp + 1;
+                cost_best = total;
+            }
+            if (cdst[bp] > 1) break;
+            cost_base += pd_coeff0[bp] - pd_coeff[bp];
+        } else {
+            cost_base -= pd_sig[bp];
+        }
+    }
+
+    int nnz = 0;
+    memset(dst, 0, sizeof(int32_t) * num);
+    for (int sp = 0; sp < best_last_p1; sp++) {
+        int bp = scan[sp];
+        if (cdst[bp]) {
+            dst[bp] = (coef[bp] < 0) ? -cdst[bp] : cdst[bp];
+            nnz++;
+        }
+    }
+    return nnz;
+}
+
 static void xt_adcc_write(XtSbac *s, XtCtx *c, const int32_t *lev,
                           int lg_w, int lg_h, int ch_type,
                           const uint16_t *scan)
@@ -3276,8 +3548,8 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
             if (cand == 0) xt_fwd_dct2(resi, coef, lg, bd);
             else           xt_fwd_ats(resi, coef, lg, bd, 0);
             if (cfg->use_rdoq)
-                nnz = xt_rdoq(coef, lev_c, lg, f->qp_y, f->lam, 0, bd,
-                              &f->est, 1, iqt);
+                nnz = xt_rdoq_adcc(coef, lev_c, lg, f->qp_y, f->lam, 0, bd,
+                                   &f->est, 1, iqt);
             else
                 nnz = xt_quant(coef, lev_c, lg, f->qp_y, 1, bd, iqt);
             if (cand == 0) nnz_dct2 = nnz;
@@ -3343,8 +3615,8 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
                                    - pred_c[i * nc + j];
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq)
-            nnzc[ch] = xt_rdoq(coef, levc[ch], lg - 1, qpc[ch], lamc[ch],
-                               ch + 1, bd, &f->est, 1, iqt);
+            nnzc[ch] = xt_rdoq_adcc(coef, levc[ch], lg - 1, qpc[ch],
+                                    lamc[ch], ch + 1, bd, &f->est, 1, iqt);
         else
             nnzc[ch] = xt_quant(coef, levc[ch], lg - 1, qpc[ch], 1, bd, iqt);
         int mx = (1 << bd) - 1;
