@@ -275,6 +275,11 @@ BTT_CASES = [
     # AI Main with BTT partitioning (binary/ternary tree, no quad;
     # xevem_mode.c mode_coding_tree_main), suco off
     ("s96_btt_ai", 96, 80, 2),
+    # + SUCO at 64-CTU (right-available intra, reversed traversal)
+    ("s96_bttsuco_ai", 96, 80, 2),
+    # 128-CTU: sub-TB coefficient coding of >64 CUs, per-quadrant TU-edge
+    # deblock, LCU-relative INTRA_STRONG bs, SUCO at 128
+    ("cif_bttsuco_ai", 352, 288, 2),
 ]
 
 

@@ -537,22 +537,8 @@ class BaselineIntraDecoder:
         raise DecodeError(f"bad split mode {split_mode}")
 
     def _decode_suco_flag(self, sbac, ctx, cuw, cuh, split_mode, boundary):
-        """xevem_eco_suco_flag + xeve_check_suco_cond mirrored."""
-        s = self.sps
-        if not s.sps_suco_flag:
-            return 0
-        suco_log2_max = min(self.log2_max_cuwh
-                            - s.log2_diff_ctu_size_max_suco_cb_size, 6)
-        suco_log2_min = max(suco_log2_max
-                            - s.log2_diff_max_suco_min_suco_cb_size,
-                            max(4, self.min_cuwh.bit_length() - 1))
-        if min(cuw, cuh) < (1 << suco_log2_min) or \
-                max(cuw, cuh) > (1 << suco_log2_max):
-            return 0
-        if boundary or split_mode in (0, 2, 4):
-            return 0
-        if split_mode != 5 and cuw <= cuh:
-            return 0
+        """xevem_eco_suco_flag: read the signalled suco flag (caller has
+        established _suco_allowed)."""
         if self.sps.tool_cm_init:
             c = max(cuw, cuh).bit_length() - 1 - 2
             c = c * 2 if cuw == cuh else c * 2 + 1
@@ -562,10 +548,31 @@ class BaselineIntraDecoder:
         self._tr(f"suco flag {flag} ")
         return flag
 
+    def _suco_allowed(self, cuw, cuh, split_mode, boundary):
+        """xeve_check_suco_cond: whether suco_flag is signalled here."""
+        s = self.sps
+        if not s.sps_suco_flag:
+            return False
+        suco_log2_max = min(self.log2_max_cuwh
+                            - s.log2_diff_ctu_size_max_suco_cb_size, 6)
+        suco_log2_min = max(suco_log2_max
+                            - s.log2_diff_max_suco_min_suco_cb_size,
+                            max(4, self.min_cuwh.bit_length() - 1))
+        if min(cuw, cuh) < (1 << suco_log2_min) or \
+                max(cuw, cuh) > (1 << suco_log2_max):
+            return False
+        if boundary or split_mode in (0, 2, 4):
+            return False
+        if split_mode != 5 and cuw <= cuh:
+            return False
+        return True
+
     def _decode_tree_main(self, sbac: SbacDecoder, ctx: SbacCtx, x0, y0,
-                          cuw, cuh, cud=0, dqp_code=0):
+                          cuw, cuh, cud=0, dqp_code=0, parent_suco=0):
         """Main-profile coding tree with BTT splits (xevem_eco_tree
-        mirrored; SUCO reverses the traversal order of vertical parts)."""
+        mirrored; SUCO reverses the traversal order of vertical parts;
+        non-signalled nodes inherit the parent's suco flag,
+        xevem_mode.c:1815)."""
         in_bounds = (x0 + cuw <= self.w) and (y0 + cuh <= self.h)
         if in_bounds:
             split = self._decode_split_mode(sbac, ctx, x0, y0, cuw, cuh)
@@ -587,8 +594,11 @@ class BaselineIntraDecoder:
                 dqp_code = 2
                 self.dqp_is_coded = False
         if split:
-            suco = self._decode_suco_flag(sbac, ctx, cuw, cuh, split,
-                                          0 if in_bounds else 1)
+            if self._suco_allowed(cuw, cuh, split, 0 if in_bounds else 1):
+                suco = self._decode_suco_flag(sbac, ctx, cuw, cuh, split,
+                                              0 if in_bounds else 1)
+            else:
+                suco = parent_suco
             parts = self._split_parts(split, x0, y0, cuw, cuh)
             if suco:
                 parts = parts[::-1]
@@ -596,7 +606,7 @@ class BaselineIntraDecoder:
                 if xp < self.w and yp < self.h:
                     self._decode_tree_main(sbac, ctx, xp, yp, wp, hp,
                                            cud + (2 if split in (3, 4)
-                                                  else 1), dqp_code)
+                                                  else 1), dqp_code, suco)
         else:
             if not in_bounds:
                 raise DecodeError("leaf CU crossing the picture boundary")
@@ -650,6 +660,75 @@ class BaselineIntraDecoder:
         if y_scu > 0 and self.map_if[y_scu - 1, x_scu] and self.map_cod[y_scu - 1, x_scu]:
             ipm_u = int(self.map_ipm[y_scu - 1, x_scu]) + 1
         return MPM_INV[ipm_l, ipm_u]
+
+    def _decode_subtb_coefs(self, sbac, ctx, cuw, cuh, mode_intra, dqp_code):
+        """Interleaved per-sub-TB parse for CUs above the 64 max transform
+        size (xevem_eco.c:1355-1470): cbf triple -> dqp -> coefficients for
+        each of the loop_w x loop_h 64-max subs in raster order.  Returns
+        (cbf_y, cbf_u, cbf_v, qp, coef_y, coef_u, coef_v) with full-CU
+        coefficient arrays (zero-filled where a sub has no cbf)."""
+        sub_w, sub_h = min(cuw, 64), min(cuh, 64)
+        loop_w, loop_h = cuw // sub_w, cuh // sub_h
+        coef_y = np.zeros((cuh, cuw), dtype=np.int32)
+        coef_u = np.zeros((cuh >> 1, cuw >> 1), dtype=np.int32)
+        coef_v = np.zeros((cuh >> 1, cuw >> 1), dtype=np.int32)
+        any_y = any_u = any_v = 0
+        cbf_all = 1
+        qp = self.qp_prev_eco
+        for sj in range(loop_h):
+            for si in range(loop_w):
+                if mode_intra:
+                    cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+                    self._tr(f"cbf U {cbf_u} ")
+                    cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+                    self._tr(f"cbf V {cbf_v} ")
+                    cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+                    self._tr(f"cbf Y {cbf_y} ")
+                else:
+                    if sj == 0 and si == 0:
+                        cbf_all = sbac.decode_bin(ctx.cbf_all, 0)
+                        self._tr(f"all_cbf {cbf_all} ")
+                        if cbf_all == 0:
+                            return 0, 0, 0, qp, coef_y, coef_u, coef_v
+                    cbf_u = sbac.decode_bin(ctx.cbf_cb, 0)
+                    self._tr(f"cbf U {cbf_u} ")
+                    cbf_v = sbac.decode_bin(ctx.cbf_cr, 0)
+                    self._tr(f"cbf V {cbf_v} ")
+                    cbf_y = sbac.decode_bin(ctx.cbf_luma, 0)
+                    self._tr(f"cbf Y {cbf_y} ")
+                # dqp (per sub, xevem_eco.c:1386-1395)
+                if self.pps.cu_qp_delta_enabled_flag:
+                    cbf_for_dqp = bool(cbf_y or cbf_u or cbf_v)
+                    if ((((not self.sps.dquant_flag) or
+                          (dqp_code == 1 and not self.dqp_is_coded))
+                         and cbf_for_dqp)
+                            or (dqp_code == 2 and not self.dqp_is_coded)):
+                        abs_dqp = sbac.read_unary_sym(ctx.delta_qp, 0, 1)
+                        dqp = 0
+                        if abs_dqp > 0:
+                            dqp = -abs_dqp if sbac.decode_bin_ep() else abs_dqp
+                        self._tr(f"dqp {dqp} ")
+                        qp = self.qp_prev_eco + dqp
+                        self.qp_prev_eco = qp
+                        self.dqp_is_coded = True
+                yo, xo = sj * sub_h, si * sub_w
+                if cbf_y:
+                    coef_y[yo:yo + sub_h, xo:xo + sub_w] = \
+                        self._decode_coef_block(sbac, ctx, sub_w, sub_h, 0)
+                    any_y = 1
+                if cbf_u:
+                    coef_u[yo >> 1:(yo + sub_h) >> 1,
+                           xo >> 1:(xo + sub_w) >> 1] = \
+                        self._decode_coef_block(sbac, ctx, sub_w >> 1,
+                                                sub_h >> 1, 1)
+                    any_u = 1
+                if cbf_v:
+                    coef_v[yo >> 1:(yo + sub_h) >> 1,
+                           xo >> 1:(xo + sub_w) >> 1] = \
+                        self._decode_coef_block(sbac, ctx, sub_w >> 1,
+                                                sub_h >> 1, 1)
+                    any_v = 1
+        return any_y, any_u, any_v, qp, coef_y, coef_u, coef_v
 
     def _decode_coef_block(self, sbac: SbacDecoder, ctx: SbacCtx, w, h, ch_type):
         """Coefficient decode: ADCC (Main) or run-length (Baseline)."""
@@ -853,8 +932,24 @@ class BaselineIntraDecoder:
             ipm = int(self._get_mpm_inv(x_scu, y_scu)[rank])
             self._tr(f"ipm Y {ipm} ")
 
-        cbf_all = 1
-        if skip:
+        # CUs above the max transform size 64 code loop_w x loop_h sub-TBs,
+        # each with its own cbf triple + dqp + coefficients interleaved
+        # (xevem_eco.c:1327-1366); handled by a dedicated parse
+        big_tb = cuw > 64 or cuh > 64
+        if big_tb and not skip:
+            (cbf_y, cbf_u, cbf_v, qp, coef_y_big, coef_u_big,
+             coef_v_big) = self._decode_subtb_coefs(sbac, ctx, cuw, cuh,
+                                                    mode_intra, dqp_code)
+            cbf_all = 1 if (cbf_y or cbf_u or cbf_v) else 0
+        elif big_tb:
+            cbf_all = 0
+            cbf_y = cbf_u = cbf_v = 0
+            qp = self.qp_prev_eco
+        if not big_tb:
+            cbf_all = 1
+        if big_tb:
+            pass
+        elif skip:
             cbf_y = cbf_u = cbf_v = 0
         elif mode_intra:
             # cbf (intra branch of xeve_eco_cbf, xeve_eco.c:866-891)
@@ -883,7 +978,7 @@ class BaselineIntraDecoder:
 
         # dqp coding condition (xevem_eco.c:1386-1395; baseline xeve_eco.c:995)
         read_dqp = False
-        if (not skip) and self.pps.cu_qp_delta_enabled_flag:
+        if (not big_tb) and (not skip) and self.pps.cu_qp_delta_enabled_flag:
             inter_all_zero = (not mode_intra) and cbf_all == 0
             if not inter_all_zero:
                 cbf_for_dqp = bool(cbf_y or cbf_u or cbf_v)
@@ -902,7 +997,7 @@ class BaselineIntraDecoder:
             qp = self.qp_prev_eco + dqp
             self.qp_prev_eco = qp
             self.dqp_is_coded = True
-        else:
+        elif not big_tb:
             qp = self.qp_prev_eco
         qp_y = qp + 6 * self.sps.bit_depth_luma_minus8
         # NOTE: chroma qp follows the slice-level mapping of the luma qp
@@ -957,16 +1052,21 @@ class BaselineIntraDecoder:
         tu_lw, tu_lh = lw, lh
         if ats_inter_info:
             tu_lw, tu_lh = rk.ats_inter_tu_size(ats_inter_info, lw, lh)
-        coef_y = coef_u = coef_v = None
-        if cbf_y:
-            coef_y = self._decode_coef_block(sbac, ctx, 1 << tu_lw,
-                                             1 << tu_lh, 0)
-        if cbf_u:
-            coef_u = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
-                                             1 << (tu_lh - 1), 1)
-        if cbf_v:
-            coef_v = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
-                                             1 << (tu_lh - 1), 1)
+        if big_tb:
+            coef_y = coef_y_big if (not skip) and cbf_y else None
+            coef_u = coef_u_big if (not skip) and cbf_u else None
+            coef_v = coef_v_big if (not skip) and cbf_v else None
+        else:
+            coef_y = coef_u = coef_v = None
+            if cbf_y:
+                coef_y = self._decode_coef_block(sbac, ctx, 1 << tu_lw,
+                                                 1 << tu_lh, 0)
+            if cbf_u:
+                coef_u = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
+                                                 1 << (tu_lh - 1), 1)
+            if cbf_v:
+                coef_v = self._decode_coef_block(sbac, ctx, 1 << (tu_lw - 1),
+                                                 1 << (tu_lh - 1), 1)
 
         # reconstruct
         if mode_intra:
@@ -1099,9 +1199,24 @@ class BaselineIntraDecoder:
             out[:, x0:x0 + sw] = sub
         return out
 
+    def _resi_big(self, coef, qp, chroma):
+        """Per-sub-TB inverse transform for CUs above the 64 max transform
+        size (each 64-max sub transforms independently)."""
+        h, w = coef.shape
+        sub = 32 if chroma else 64
+        sub_w, sub_h = min(w, sub), min(h, sub)
+        out = np.empty((h, w), dtype=np.int32)
+        for yo in range(0, h, sub_h):
+            for xo in range(0, w, sub_w):
+                out[yo:yo + sub_h, xo:xo + sub_w] = self._itdq(
+                    coef[yo:yo + sub_h, xo:xo + sub_w], qp)
+        return out
+
     def _resi_luma(self, coef, qp, cuw, cuh):
         ats_intra_cu, ats_mode, inter_info = self._cur_ats
         bd = self.bd
+        if cuw > 64 or cuh > 64:
+            return self._resi_big(coef, qp, chroma=False)
         if ats_intra_cu:
             return rk.inverse_ats(
                 rk.dequant(coef, qp, bd, iqt=self.sps.tool_iqt), ats_mode, bd)
@@ -1120,6 +1235,8 @@ class BaselineIntraDecoder:
 
     def _resi_chroma(self, coef, qp, wc, hc):
         inter_info = self._cur_ats[2]
+        if wc > 32 or hc > 32:
+            return self._resi_big(coef, qp, chroma=True)
         if inter_info:
             return self._place_sub_tb(self._itdq(coef, qp), wc, hc,
                                       inter_info)
@@ -1245,6 +1362,20 @@ class BaselineIntraDecoder:
             plane[yc:yc + hc, xc:xc + wc] = rk.recon_block(pred, resi, bd)
 
     # -- deblocking ---------------------------------------------------------
+    def _deblock_cus(self):
+        """Deblock work list: leaf CUs above the max transform size split
+        into 64-max quadrants so their internal TU edges filter like CU
+        edges (xevem_deblock_unit, xevem_df.c:1079/1148)."""
+        out = []
+        for (x, y, w, h) in self.leaf_cus:
+            if w <= 64 and h <= 64:
+                out.append((x, y, w, h))
+                continue
+            for yo in range(0, h, min(h, 64)):
+                for xo in range(0, w, min(w, 64)):
+                    out.append((x + xo, y + yo, min(w, 64), min(h, 64)))
+        return out
+
     def _deblock(self):
         tidx = None
         if not self.pps.single_tile_in_pic_flag and \
@@ -1255,7 +1386,8 @@ class BaselineIntraDecoder:
             ref_pocs = ([p["poc"] for p in self.refp],
                         [p["poc"] for p in self.refp1])
             deblock_frame_addb(self.rec_y, self.rec_u, self.rec_v,
-                               self.leaf_cus, self.map_if, self.map_cbf_l,
+                               self._deblock_cus(), self.map_if,
+                               self.map_cbf_l,
                                self.map_qp, self.map_refi, self.map_mv,
                                ref_pocs,
                                self.sh.qp_u_offset, self.sh.qp_v_offset,
@@ -1263,10 +1395,12 @@ class BaselineIntraDecoder:
                                alpha_off=self.sh.sh_deblock_alpha_offset,
                                beta_off=self.sh.sh_deblock_beta_offset,
                                main_qp_table=self.sps.tool_iqt,
-                               map_tidx=tidx)
+                               map_tidx=tidx,
+                               log2_ctu=self.log2_max_cuwh)
             return
         from ..ops.deblock_np import deblock_frame
-        deblock_frame(self.rec_y, self.rec_u, self.rec_v, self.leaf_cus,
+        deblock_frame(self.rec_y, self.rec_u, self.rec_v,
+                      self._deblock_cus(),
                       self.map_if, self.map_cbf_l, self.map_qp,
                       self.sh.qp_u_offset, self.sh.qp_v_offset,
                       self.bd, self.sps.bit_depth_chroma_minus8,

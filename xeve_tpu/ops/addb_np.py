@@ -47,12 +47,13 @@ def _cmp_mvs(a, b):
 
 
 def _get_bs(scu0, xy0, scu1, xy1, map_if, map_cbf_l, map_refi, map_mv,
-            ref_pocs):
+            ref_pocs, log2_ctu=6):
     """scu = (ys, xs); xy = pixel coords; ref_pocs = (list0_pocs,
-    list1_pocs) of the CURRENT slice (xevem_df.c get_bs, :70)."""
+    list1_pocs) of the CURRENT slice (xevem_df.c get_bs, :70);
+    log2_ctu sizes the INTRA_STRONG cross-LCU test (128 CTUs with btt)."""
     if map_if[scu0] or map_if[scu1]:
-        same_lcu = ((xy0[0] >> 6) == (xy1[0] >> 6) and
-                    (xy0[1] >> 6) == (xy1[1] >> 6))
+        same_lcu = ((xy0[0] >> log2_ctu) == (xy1[0] >> log2_ctu) and
+                    (xy0[1] >> log2_ctu) == (xy1[1] >> log2_ctu))
         return BS_INTRA if same_lcu else BS_INTRA_STRONG
     if map_cbf_l[scu0] or map_cbf_l[scu1]:
         return BS_CODED
@@ -157,7 +158,7 @@ def deblock_frame_addb(rec_y, rec_u, rec_v, leaf_cus, map_if, map_cbf_l,
                        map_qp, map_refi, map_mv, ref_pocs,
                        qp_u_off, qp_v_off, bd, bd_chroma_minus8,
                        alpha_off=0, beta_off=0, main_qp_table=1,
-                       map_tidx=None):
+                       map_tidx=None, log2_ctu=6):
     """In-place ADDB over the frame: vertical (left) edges of every leaf
     CU first, then horizontal (top) edges — the reference's is_hor=0/1
     double pass (xeve_enc.c:2363).  Edges only on the 8x8 grid."""
@@ -202,7 +203,7 @@ def deblock_frame_addb(rec_y, rec_u, rec_v, leaf_cus, map_if, map_cbf_l,
                 nscu = (sy >> 2, (sx >> 2) - 1)
                 xy0, xy1 = (sx, sy), (sx - 1, sy)
             bs = _get_bs(scu, xy0, nscu, xy1, map_if, map_cbf_l,
-                         map_refi, map_mv, ref_pocs)
+                         map_refi, map_mv, ref_pocs, log2_ctu=log2_ctu)
             qp = (int(map_qp[scu]) + int(map_qp[nscu]) + 1) >> 1
             alpha, beta, c1 = seg_params_luma(qp, bs)
             for k in range(4):

@@ -80,20 +80,25 @@ def conv_luma_to_chroma(ipm_l: int):
 # ---------------------------------------------------------------------------
 
 class Nbr:
-    """up[i] for i in [-1, w+h-1]; left[i] for i in [-1, h+w-1]."""
+    """up[i] for i in [-1, w+h-1]; left[i] for i in [-1, h+w-1];
+    right[i] for i in [-2, h+w-1] (SUCO layouts)."""
 
-    __slots__ = ("up", "left", "avail_lr")
+    __slots__ = ("up", "left", "avail_lr", "right")
 
-    def __init__(self, up, left, avail_lr):
+    def __init__(self, up, left, avail_lr, right=None):
         self.up = up        # ndarray of len w+h+1; up[0] is index -1
         self.left = left
         self.avail_lr = avail_lr
+        self.right = right  # ndarray of len h+w+2; right[0] is index -2
 
     def u(self, i):
         return self.up[i + 1]
 
     def l(self, i):
         return self.left[i + 1]
+
+    def r(self, i):
+        return self.right[i + 2]
 
 
 def get_nbr_main(plane, x, y, w, h, x_scu, y_scu, map_cod, w_scu, h_scu,
@@ -138,9 +143,27 @@ def get_nbr_main(plane, x, y, w, h, x_scu, y_scu, map_cod, w_scu, h_scu,
         else:
             left[base:base + unit] = left[base - 1]
 
+    # right column (xevem_get_nbr:131-155, SUCO layouts): per-unit
+    # availability of the column at x+w; holes replicate downward from
+    # the sample above; right[-1] = up[w]
+    scuw = w // unit
+    right = np.empty(h + w + 2, dtype=np.int64)
+    right[1] = up[1 + w] if w < up.shape[0] - 1 else up[-1]
+    right[0] = right[1]
+    for i in range(n_units):
+        ok = (x_scu + scuw < w_scu and y_scu + i < h_scu and
+              map_cod[y_scu + i, x_scu + scuw])
+        base = 2 + i * unit
+        if ok:
+            seg = plane[y + i * unit:y + (i + 1) * unit, x + w]
+            right[base:base + unit] = seg
+        else:
+            right[base:base + unit] = right[base - 1]
+
     avail_l = x_scu > 0 and map_cod[y_scu, x_scu - 1]
-    avail_lr = LR_10 if avail_l else LR_00
-    return Nbr(up, left, avail_lr)
+    avail_r = (x_scu + scuw < w_scu and map_cod[y_scu, x_scu + scuw])
+    avail_lr = (LR_10 if avail_l else LR_00) | (LR_01 if avail_r else 0)
+    return Nbr(up, left, avail_lr, right)
 
 
 # ---------------------------------------------------------------------------
@@ -297,19 +320,204 @@ def _pred_ang(nb: Nbr, w, h, ipm, bd):
     return dst
 
 
+def _pred_hor_lr(nb: Nbr, w, h):
+    if nb.avail_lr == LR_11:
+        multi_w = LUT_SIZE_PLUS1[_log2(w)]
+        le = np.array([nb.l(i) for i in range(h)], dtype=np.int64)
+        ri = np.array([nb.r(i) for i in range(h)], dtype=np.int64)
+        xs = np.arange(w, dtype=np.int64)
+        return ((le[:, None] * (w - xs)[None, :]
+                 + ri[:, None] * (xs + 1)[None, :]
+                 + (w >> 1)) * multi_w) >> 12
+    # LR_01: replicate the right column
+    col = np.array([nb.r(i) for i in range(h)], dtype=np.int64)
+    return np.repeat(col[:, None], w, axis=1)
+
+
+def _pred_dc_lr(nb: Nbr, w, h):
+    if nb.avail_lr == LR_11:
+        dc = int(sum(nb.l(i) for i in range(h))
+                 + sum(nb.r(i) for i in range(h))
+                 + sum(nb.u(j) for j in range(w)))
+        dc = _get_dc(dc + ((w + h + h) >> 1), w, h << 1)
+    else:   # LR_01
+        dc = int(sum(nb.r(i) for i in range(h))
+                 + sum(nb.u(j) for j in range(w)))
+        dc = _get_dc(dc + ((w + h) >> 1), w, h)
+    return np.full((h, w), dc, dtype=np.int64)
+
+
+def _pred_plane_r(nb: Nbr, w, h, bd):
+    """ipred_plane, LR_01/LR_11 branch (mirrored around the right ref)."""
+    w2, h2 = w >> 1, h >> 1
+    idx_w = max(_log2(w) - 2, 0)
+    idx_h = max(_log2(h) - 2, 0)
+    im_h, is_h = _IB_MULT[idx_w], _IB_SHIFT[idx_w]
+    im_v, is_v = _IB_MULT[idx_h], _IB_SHIFT[idx_h]
+    coef_h = sum(x * (nb.u(w2 - x) - nb.u(w2 + x))
+                 for x in range(1, w2 + 1))
+    coef_v = sum(y * (nb.r(h2 - 1 + y) - nb.r(h2 - 1 - y))
+                 for y in range(1, h2 + 1))
+    a = (nb.r(h - 1) + nb.u(0)) << 4
+    b = ((coef_h << 5) * im_h + (1 << (is_h - 1))) >> is_h
+    c = ((coef_v << 5) * im_v + (1 << (is_v - 1))) >> is_v
+    base = a - (h2 - 1) * c - (w2 - 1) * b + 16
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    # temp2 starts at x = w-1 and gains b per step towards x = 0
+    vals = (base + ys[:, None] * c + (w - 1 - xs)[None, :] * b) >> 5
+    return np.clip(vals, 0, (1 << bd) - 1)
+
+
+def _pred_bi_lr(nb: Nbr, w, h, bd):
+    ish_x, ish_y = _log2(w), _log2(h)
+    ref_up = np.array([nb.u(j) for j in range(w)], dtype=np.int64)
+    ref_le = np.array([nb.l(i) for i in range(h)], dtype=np.int64)
+    ref_ri = np.array([nb.r(i) for i in range(h)], dtype=np.int64)
+    maxv = (1 << bd) - 1
+    if nb.avail_lr == LR_11:
+        multi_w = LUT_SIZE_PLUS1[ish_x]
+        xs = np.arange(w, dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        dst_tmp = ((ref_le[:, None] * (w - xs)[None, :]
+                    + ref_ri[:, None] * (xs + 1)[None, :]
+                    + (w >> 1)) * multi_w) >> 12
+        tmp = (ref_up[None, :] * (h - 1 - ys)[:, None]
+               + dst_tmp[h - 1][None, :] * (ys + 1)[:, None]
+               + (h >> 1)) >> ish_y
+        return (dst_tmp + tmp + 1) >> 1
+    # LR_01 (mirrored ipred_bi)
+    ish = min(ish_x, ish_y)
+    ish_xy = ish_x + ish_y + 1
+    offset = 1 << (ish_x + ish_y)
+    wc = _TBL_WC[abs(ish_x - ish_y)]
+    a = int(nb.u(-1))
+    b = int(nb.r(h))
+    if w == h:
+        c = (a + b + 1) >> 1
+    else:
+        c = (((a << ish_x) + (b << ish_y)) * wc + (1 << (ish + 9))) >> (ish + 10)
+    wt = (c << 1) - a - b
+    up_d = b - ref_up
+    ref_up_s = ref_up << ish_y
+    ri_d = a - ref_ri
+    ref_ri_s = ref_ri << ish_x
+    wy = np.arange(h, dtype=np.int64) * wt
+    # x runs w-1 -> 0; predx/ref_up accumulate per processed column
+    ks = np.arange(1, w + 1, dtype=np.int64)        # processing order
+    ys = np.arange(1, h + 1, dtype=np.int64)
+    predx = ref_ri_s[:, None] + ri_d[:, None] * ks[None, :]
+    refu_at = ref_up_s[None, :] + up_d[None, :] * ys[:, None]   # by column x
+    wxy = wy[:, None] * (np.arange(w, dtype=np.int64))[None, :]  # per k-1
+    vals = np.empty((h, w), dtype=np.int64)
+    # column processed k-th (k=1..w) is x = w-k; wxy uses (k-1)*wy
+    for k in range(1, w + 1):
+        x = w - k
+        vals[:, x] = ((predx[:, k - 1] << ish_y)
+                      + (refu_at[:, x] << ish_x)
+                      + wy * (k - 1) + offset) >> ish_xy
+    return np.clip(vals, 0, maxv)
+
+
+def _pred_ang_r(nb: Nbr, w, h, ipm, bd):
+    """Angular modes, right-available layouts (xevem_ipred.c:503,619,746):
+    fan < VER and the diagonal band switch to the right column per the
+    reference's on_right/only_right variants."""
+    mt_x, mt_y = int(TBL_DXDY[ipm][0]), int(TBL_DXDY[ipm][1])
+    pos_max = w + h - 1
+    maxv = (1 << bd) - 1
+    dst = np.empty((h, w), dtype=np.int64)
+
+    def clip(p):
+        return max(-1, min(pos_max, p))
+
+    def filt(p, offset):
+        f = TBL_ADI[offset]
+        v = (p[0] * f[0] + p[1] * f[1] + p[2] * f[2] + p[3] * f[3]
+             + 64) >> 7
+        return min(max(v, 0), maxv)
+
+    if ipm < IPD_VER:
+        # ipred_ang_less_ver_on_right
+        for j in range(h):
+            t_dx = ((j + 1) * mt_x) >> 10
+            offset = (((j + 1) * mt_x) >> 5) - (t_dx << 5)
+            for i in range(w):
+                if i < w - t_dx:
+                    xx = i + t_dx
+                    p = [nb.u(clip(xx - 1)), nb.u(clip(xx)),
+                         nb.u(clip(xx + 1)), nb.u(clip(xx + 2))]
+                    dst[j, i] = filt(p, offset)
+                else:
+                    t_dy = ((w - i) * mt_y) >> 10
+                    off2 = (((w - i) * mt_y) >> 5) - (t_dy << 5)
+                    yy = j - t_dy
+                    p = [nb.r(clip(yy + 1)), nb.r(clip(yy)),
+                         nb.r(clip(yy - 1)), nb.r(clip(yy - 2))]
+                    dst[j, i] = filt(p, off2)
+    elif ipm > IPD_HOR:
+        # ipred_ang_gt_hor_on_right
+        for j in range(h):
+            for i in range(w):
+                t_dy = ((w - i) * mt_y) >> 10
+                if j < t_dy:
+                    t_dx = ((w - i) * mt_x) >> 10
+                    offset = (((w - i) * mt_x) >> 5) - (t_dx << 5)
+                    xx = i + t_dx
+                    p = [nb.u(clip(xx - 1)), nb.u(clip(xx)),
+                         nb.u(clip(xx + 1)), nb.u(clip(xx + 2))]
+                else:
+                    offset = (((w - i) * mt_y) >> 5) - (t_dy << 5)
+                    yy = j - t_dy
+                    p = [nb.r(clip(yy + 1)), nb.r(clip(yy)),
+                         nb.r(clip(yy - 1)), nb.r(clip(yy - 2))]
+                dst[j, i] = filt(p, offset)
+    else:
+        # ipred_ang_only_right (diagonal band, LR_01 only)
+        for j in range(h):
+            for i in range(w):
+                t_dy = ((i + 1) * mt_y) >> 10
+                if j < t_dy:
+                    t_dx = ((j + 1) * mt_x) >> 10
+                    offset = (((j + 1) * mt_x) >> 5) - (t_dx << 5)
+                    xx = i - t_dx
+                    p = [nb.u(clip(xx + 1)), nb.u(clip(xx)),
+                         nb.u(clip(xx - 1)), nb.u(clip(xx - 2))]
+                else:
+                    t_dy = ((w - i) * mt_y) >> 10
+                    offset = (((w - i) * mt_y) >> 5) - (t_dy << 5)
+                    yy = j + t_dy
+                    p = [nb.r(clip(yy - 1)), nb.r(clip(yy)),
+                         nb.r(clip(yy + 1)), nb.r(clip(yy + 2))]
+                dst[j, i] = filt(p, offset)
+    return dst
+
+
+def _ang_dispatch(nb: Nbr, w, h, ipm, bd):
+    """xevem_ipred default branch: family + LR variant selection."""
+    fam = 0 if ipm < IPD_VER else (1 if ipm > IPD_HOR else 2)
+    if fam < 2:
+        use_r = bool(nb.avail_lr & 2)
+    else:
+        use_r = nb.avail_lr == LR_01
+    if use_r:
+        return _pred_ang_r(nb, w, h, ipm, bd)
+    return _pred_ang(nb, w, h, ipm, bd)
+
+
 def ipred_main(ipm, nb: Nbr, w, h, bd):
-    assert nb.avail_lr in (LR_00, LR_10), "right-available layouts need SUCO"
+    lr = nb.avail_lr
     if ipm == IPD_VER:
         return _pred_ver(nb, w, h)
     if ipm == IPD_HOR:
-        return _pred_hor(nb, w, h)
+        return _pred_hor_lr(nb, w, h) if lr in (LR_01, LR_11)             else _pred_hor(nb, w, h)
     if ipm == IPD_DC:
-        return _pred_dc(nb, w, h)
+        return _pred_dc_lr(nb, w, h) if lr in (LR_01, LR_11)             else _pred_dc(nb, w, h)
     if ipm == IPD_PLN:
-        return _pred_plane(nb, w, h, bd)
+        return _pred_plane_r(nb, w, h, bd) if lr in (LR_01, LR_11)             else _pred_plane(nb, w, h, bd)
     if ipm == IPD_BI:
-        return _pred_bi(nb, w, h, bd)
-    return _pred_ang(nb, w, h, ipm, bd)
+        return _pred_bi_lr(nb, w, h, bd) if lr in (LR_01, LR_11)             else _pred_bi(nb, w, h, bd)
+    return _ang_dispatch(nb, w, h, ipm, bd)
 
 
 def ipred_uv_main(ipm_c, ipm_l, nb: Nbr, w, h, bd):
@@ -318,18 +526,22 @@ def ipred_uv_main(ipm_c, ipm_l, nb: Nbr, w, h, bd):
         conv, ok = conv_luma_to_chroma(ipm_l)
         if ok:
             ipm_c = conv
+    lr = nb.avail_lr
+    right = lr in (LR_01, LR_11)
     if ipm_c == IPD_DM_C:
         if ipm_l == IPD_PLN:
-            return _pred_plane(nb, w, h, bd)
-        return _pred_ang(nb, w, h, ipm_l, bd)
+            return _pred_plane_r(nb, w, h, bd) if right \
+                else _pred_plane(nb, w, h, bd)
+        return _ang_dispatch(nb, w, h, ipm_l, bd)
     if ipm_c == IPD_DC_C:
-        return _pred_dc(nb, w, h)
+        return _pred_dc_lr(nb, w, h) if right else _pred_dc(nb, w, h)
     if ipm_c == IPD_HOR_C:
-        return _pred_hor(nb, w, h)
+        return _pred_hor_lr(nb, w, h) if right else _pred_hor(nb, w, h)
     if ipm_c == IPD_VER_C:
         return _pred_ver(nb, w, h)
     if ipm_c == IPD_BI_C:
-        return _pred_bi(nb, w, h, bd)
+        return _pred_bi_lr(nb, w, h, bd) if right \
+            else _pred_bi(nb, w, h, bd)
     raise ValueError(f"bad chroma mode {ipm_c}")
 
 
