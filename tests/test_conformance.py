@@ -296,3 +296,31 @@ def test_decode_main_profile_btt(name, w, h, n):
         assert np.array_equal(f.y, gy), f"{name} frame {i} luma mismatch"
         assert np.array_equal(f.u, gu), f"{name} frame {i} cb mismatch"
         assert np.array_equal(f.v, gv), f"{name} frame {i} cr mismatch"
+
+
+def test_decode_btt_suco_ld_bitstream():
+    """BTT+SUCO low-delay (generalized B) stream: rect inter CUs, MVP/skip
+    with suco-ordered availability, MV-aware ADDB."""
+    stream = open(os.path.join(DATA, "s96_btt_ld.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == 2
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, "s96_btt_ld_rec.yuv"),
+                                96, 80, i)
+        assert np.array_equal(f.y, gy) and np.array_equal(f.u, gu) \
+            and np.array_equal(f.v, gv), f"frame {i}"
+
+
+def test_decode_btt_suco_ra_gop16_bitstream():
+    """BTT+SUCO RA GOP16 Main stream (18 frames): hierarchical B with
+    binary/ternary partitioning, suco inheritance through the tree
+    (xevem_mode.c:1740,1815,1964), temporal direct, rect MC."""
+    stream = open(os.path.join(DATA, "s96_btt_ra.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == 18
+    frames = sorted(frames, key=lambda f: f.poc)
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA, "s96_btt_ra_rec.yuv"),
+                                96, 80, i)
+        assert np.array_equal(f.y, gy) and np.array_equal(f.u, gu) \
+            and np.array_equal(f.v, gv), f"frame {i} (poc {f.poc})"

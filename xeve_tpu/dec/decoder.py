@@ -594,11 +594,18 @@ class BaselineIntraDecoder:
                 dqp_code = 2
                 self.dqp_is_coded = False
         if split:
+            vertical = split in (1, 3)
             if self._suco_allowed(cuw, cuh, split, 0 if in_bounds else 1):
                 suco = self._decode_suco_flag(sbac, ctx, cuw, cuh, split,
                                               0 if in_bounds else 1)
             else:
-                suco = parent_suco
+                # unsignalled VERTICAL splits inherit the parent's suco
+                # order (the encoder evaluates only suco == parent_suco,
+                # xevem_mode.c:1740,1815); HOR splits always use direct
+                # order (num_suco == 1) but still pass parent_suco on to
+                # their children (xevem_mode.c:1964)
+                suco = parent_suco if vertical else 0
+            child_suco = suco if vertical else parent_suco
             parts = self._split_parts(split, x0, y0, cuw, cuh)
             if suco:
                 parts = parts[::-1]
@@ -606,7 +613,8 @@ class BaselineIntraDecoder:
                 if xp < self.w and yp < self.h:
                     self._decode_tree_main(sbac, ctx, xp, yp, wp, hp,
                                            cud + (2 if split in (3, 4)
-                                                  else 1), dqp_code, suco)
+                                                  else 1), dqp_code,
+                                           child_suco)
         else:
             if not in_bounds:
                 raise DecodeError("leaf CU crossing the picture boundary")
