@@ -68,3 +68,27 @@ def test_parallel_decodes():
     assert len(dec) == 18
     for f in dec:
         assert np.array_equal(f.y, recs[f.poc][0])
+
+
+def test_parallel_ai_equals_serial():
+    """All-intra frame-parallel C passes must be bit-identical to serial."""
+    frames = _frames(6)
+
+    def run(workers):
+        os.environ["XEVE_TPU_FRAME_WORKERS"] = str(workers)
+        try:
+            from xeve_tpu.api import Encoder
+            enc = Encoder(EncoderParams(w=W, h=H, qp=30, keyint=1),
+                          analysis="device")
+            out = []
+            for bs, rec, poc in enc.encode_stream(iter(frames)):
+                out.append((poc, bs, rec[0].tobytes()))
+            return out
+        finally:
+            del os.environ["XEVE_TPU_FRAME_WORKERS"]
+
+    a = run(3)
+    b = run(1)
+    assert len(a) == len(b) == 6
+    for (pa, ba, ra), (pb, bb, rb) in zip(a, b):
+        assert pa == pb and ba == bb and ra == rb

@@ -690,6 +690,17 @@ class Encoder:
             return self._slice_qp(slice_type)
         return getattr(self, "_last_qp", self.p.qp)
 
+    @staticmethod
+    def _frame_workers():
+        """Native coding-pass worker threads for frame-parallel coding
+        (XEVE_TPU_FRAME_WORKERS env override; default = CPU count, max 4).
+        The C pass releases the GIL, so independent frames of a sub-GOP
+        code concurrently — the frame-level parallel axis the reference
+        does not have (SURVEY.md §2.4: 'no frame-level parallelism')."""
+        import os
+        return max(1, int(os.environ.get(
+            "XEVE_TPU_FRAME_WORKERS", str(min(4, os.cpu_count() or 1)))))
+
     def encode_stream(self, frames, ahead: int = 3):
         """Encode an iterable of (y, u, v) frames; yields (bitstream_bytes,
         (rec_y, rec_u, rec_v), poc) per frame in display order (AI/LD).
@@ -737,6 +748,30 @@ class Encoder:
         pending = deque()
         disp = self.pic_cnt
 
+        # all-intra frames are fully independent: run their closed-loop C
+        # passes on the frame-worker pool (emission stays serial, so the
+        # bitstream is identical to the serial path)
+        par_ai = (p.keyint == 1 and self.rc is None
+                  and self.coder_engine == "native" and not p.tool_eipd
+                  and self._frame_workers() > 1)
+        if par_ai and self._code_pool is None:
+            import concurrent.futures
+            self._code_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._frame_workers(),
+                thread_name_prefix="xt-frame")
+
+        def code_ai(yuv, hd):
+            from .enc.intra_frame_native import encode_intra_frame_native
+            y, u, v = yuv
+            qp = self._slice_qp(SLICE_I)
+            return encode_intra_frame_native(
+                p.w_aligned, p.h_aligned, p.codec_bit_depth, qp,
+                p.qp_cb_offset, p.qp_cr_offset, y, u, v, dev.collect(hd),
+                use_rdoq=p.rdoq, use_deblock=p.use_deblock,
+                aq_map=self._aq_map(y, u, v),
+                cu_qp_delta_area=self.pps.cu_qp_delta_area,
+                dquant_flag=self.sps.dquant_flag)
+
         def dispatch(fr):
             nonlocal disp
             y, u, v = self._pad_input(*fr)
@@ -755,11 +790,42 @@ class Encoder:
                     ref0b = disp - 2
             hd = dev.dispatch_bg(disp, qp, qp_y, qp_u, qp_v, ref_poc=ref,
                               ref0b_poc=ref0b)
+            if par_ai:
+                hd = self._code_pool.submit(code_ai, (y, u, v), hd)
             pending.append(((y, u, v), hd))
             disp += 1
 
         def code_next():
             yuv, hd = pending.popleft()
+            if par_ai:
+                qp = self._slice_qp(SLICE_I)
+                payload, bin_count, rec_y, rec_u, rec_v, _tl = hd.result()
+                nut = NUT_IDR if (self.pic_cnt == 0
+                                  or p.closed_gop) else NUT_NONIDR
+                self.last_intra_poc = self.poc
+                out = b""
+                if self.pic_cnt == 0 or nut == NUT_IDR:
+                    out += self._headers()
+                sh = SliceHeader(slice_type=SLICE_I, qp=qp,
+                                 qp_u_offset=p.qp_cb_offset,
+                                 qp_v_offset=p.qp_cr_offset,
+                                 deblocking_filter_on=1 if p.use_deblock
+                                 else 0)
+                bw = BitWriter()
+                NalHeader(nut, 0).write(bw)
+                sh.write(bw, nut, self.sps, self.pps)
+                payload = bw.get_bytes() + payload
+                payload += self._cabac_zero_words(bin_count, len(payload))
+                out += wrap_nal(payload)
+                if p.use_pic_sign:
+                    out += self._signature_sei(rec_y, rec_u, rec_v)
+                self._rc_update(SLICE_I, qp, len(out))
+                self._prev_orig_y = np.asarray(yuv[0])
+                self._dpb_push(rec_y, rec_u, rec_v, None)
+                self.pic_cnt += 1
+                self._fill_stat(len(out), nut, SLICE_I, qp, self.poc - 1, 0,
+                                rec=(rec_y, rec_u, rec_v))
+                return out, (rec_y, rec_u, rec_v), self.poc - 1
             bs, rec = self.encode_frame(*yuv, analysis_pre=dev.collect(hd))
             return bs, rec, self.poc - 1
 
@@ -1002,17 +1068,6 @@ class GopEncoder(Encoder):
             yield bs, rec, disp
         self._gop_base = base + 16
         self._gop_in = self._gop_in[-1:]
-
-    @staticmethod
-    def _frame_workers():
-        """Native coding-pass worker threads for frame-parallel coding
-        (XEVE_TPU_FRAME_WORKERS env override; default = CPU count, max 4).
-        The C pass releases the GIL, so independent frames of a sub-GOP
-        code concurrently — the frame-level parallel axis the reference
-        does not have (SURVEY.md §2.4: 'no frame-level parallelism')."""
-        import os
-        return max(1, int(os.environ.get(
-            "XEVE_TPU_FRAME_WORKERS", str(min(4, os.cpu_count() or 1)))))
 
     def _code_subgop_parallel(self, dev, handles, frozen_lists, base):
         """Frame-DAG parallel coding of one RA sub-GOP: every frame's
