@@ -115,6 +115,12 @@ def main():
         detail[key] = {"fps": round(fps, 3), "kbps_at_30fps": round(kbps),
                        "psnr_y": round(ps, 2), "warmup_s": round(warm, 1),
                        "vs_baseline": round(fps / ANCHORS[key], 2)}
+        if prof == 1:
+            # our Main toolset is a subset of the anchor's (no encoder-side
+            # BTT/SUCO, advanced inter, ALF/DRA/IBC yet): the speed ratio
+            # compares streams of unequal BD-rate — see BDRATE.md
+            detail[key]["bd_caveat"] = ("subset-vs-full-Main toolset; "
+                                        "see BDRATE.md")
 
     print(json.dumps({
         "metric": "1080p_ra_encode_fps_per_chip",

@@ -6,7 +6,7 @@ import pytest
 
 from tests.conftest import DATA, load_yuv8
 from xeve_tpu.enc.analysis_np import analyze_frame
-from xeve_tpu.enc.intra_frame import IntraFramePass
+from xeve_tpu.enc.frame_pass import FramePass as IntraFramePass
 from xeve_tpu.entropy.sbac import SbacEncoder, SbacCtx
 from xeve_tpu.constants import chroma_qp_dynamic
 

@@ -14,7 +14,6 @@ from .hls import SPS, PPS, SliceHeader, NalHeader, wrap_nal
 from .io.bits import BitWriter
 from .entropy.sbac import SbacEncoder, SbacCtx
 from .enc.analysis_np import analyze_frame
-from .enc.intra_frame import IntraFramePass
 from .enc.frame_pass import FramePass, PAD_L
 from .constants import QP_ADAPT_LD, SLICE_P, SLICE_B
 from .ops import mc_np
@@ -376,7 +375,7 @@ class Encoder:
         else:
             sbac = SbacEncoder()
             ctx = SbacCtx()
-            fp = IntraFramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
+            fp = FramePass(p.w_aligned, p.h_aligned, bd, bd - 8, qp,
                                 p.qp_cb_offset, p.qp_cr_offset,
                                 use_rdoq=p.rdoq, use_deblock=p.use_deblock)
             rec_y, rec_u, rec_v, _ = fp.encode(y, u, v, analysis, sbac, ctx)
