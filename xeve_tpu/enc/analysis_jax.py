@@ -174,7 +174,8 @@ def _tq_cost(orig_blocks, preds, qprm, bd, s):
                          jnp.max(jnp.where(nz, rank, -1.0), axis=(-1, -2)),
                          -1.0)
     lev_bins = jnp.minimum(lev, 32.0).sum(axis=(-1, -2))
-    bits = (last_idx + 1.0) + lev_bins + 2.0 * nsig + 3.0
+    from .analysis_np import BITS_SCALE
+    bits = BITS_SCALE * ((last_idx + 1.0) + lev_bins + 2.0 * nsig) + 3.0
     bits = jnp.where(nsig == 0, 3.0, bits)
     return dist, bits
 

@@ -31,6 +31,10 @@ from ..constants import (TM, SCAN, QUANT_SCALE, DQUANT_SCALE_B,
 # loop RDO instead; this factor is our calibrated stand-in).
 LEVEL_COST_CORRECTION = {2: 1.3, 3: 1.1}
 
+# intra coefficient-rate estimate calibration (fit against the AI BD
+# ladder; shared with the jax twin which bakes it at trace time)
+BITS_SCALE = 1.0
+
 
 def corrected_leaf(lg, cost):
     g = LEVEL_COST_CORRECTION.get(lg)
@@ -146,7 +150,7 @@ def _fwd_tq_cost(orig_blocks, preds, qp, lam, bd, slice_type, weight=1.0,
     pos = np.arange(s * s)
     last_idx = np.where(nsig > 0, (nz * pos).max(-1), -1)
     lev_bins = np.minimum(scanned, 32).sum(-1)  # unary level bins (capped est)
-    bits = (last_idx + 1) + lev_bins + 2 * nsig + 3
+    bits = BITS_SCALE * ((last_idx + 1) + lev_bins + 2 * nsig) + 3
     bits = np.where(nsig == 0, 3, bits)
     return dist * weight, bits.astype(np.float64), nsig
 
