@@ -78,6 +78,9 @@ class Encoder:
         self._gop_base = 0
         self._first_done = False
         self._prev_orig_y = None
+        self._fcst = []           # (disp_idx, scene proxy) lookahead ring
+        self._fcst_prev = None    # previous pushed original (proxy base)
+        self._force_idr = set()   # scene-cut keyframe inserts (disp idx)
         self.rc = None
         if self.p.rc_type in ("abr", "crf"):
             from .enc.rc import RateControl
@@ -182,7 +185,7 @@ class Encoder:
     # ------------------------------------------------------------------
     def _slice_type_for(self, pic_cnt: int) -> int:
         p = self.p
-        if p.keyint == 1 or pic_cnt == 0:
+        if p.keyint == 1 or pic_cnt == 0 or pic_cnt in self._force_idr:
             return SLICE_I
         if p.keyint > 1 and pic_cnt % p.keyint == 0:
             return SLICE_I
@@ -203,7 +206,18 @@ class Encoder:
                 np.asarray(y),
                 self._prev_orig_y if slice_type != SLICE_I else None)
         self._rc_cpx = cpx
-        return self.rc.pick_qp(slice_type, depth, cpx)
+        # lookahead-lite forecast: complexity proxies of the frames
+        # already sitting in the dispatch-ahead pipeline, in one shared
+        # proxy domain (ratios only, so the device rc_cost scale of
+        # `cpx` does not matter)
+        from .enc.rc import POW_CPLX
+        cur = [c for (d, c) in self._fcst if d == self.pic_cnt]
+        ahead = [c for (d, c) in self._fcst if d > self.pic_cnt]
+        fr = None
+        if cur and ahead:
+            pows = [max(c, 1.0) ** POW_CPLX for c in [cur[0]] + ahead]
+            fr = pows[0] / max(sum(pows) / len(pows), 1e-6)
+        return self.rc.pick_qp(slice_type, depth, cpx, fcst_ratio=fr)
 
     def _rc_update(self, slice_type: int, qp: int, nbytes: int):
         self._last_qp = qp
@@ -774,6 +788,20 @@ class Encoder:
         def dispatch(fr):
             nonlocal disp
             y, u, v = self._pad_input(*fr)
+            # lookahead-lite: per-frame complexity proxy feeding the RC
+            # forecast window + scene-cut keyframe insertion
+            # (xeve_fcst.c:106 scene type analog)
+            from .enc.rc import scene_proxy
+            px = scene_proxy(np.asarray(y), self._fcst_prev)
+            self._fcst_prev = np.asarray(y)
+            hist = [c for (_d, c) in self._fcst[-8:]]
+            if (self.rc is not None and p.keyint != 1 and disp > 0
+                    and len(hist) >= 2
+                    and px > 6.0 * max(np.mean(hist), 1.0)):
+                self._force_idr.add(disp)
+            self._fcst.append((disp, px))
+            if len(self._fcst) > 32:
+                del self._fcst[:-32]
             st = self._slice_type_for(disp)
             qp = self._qp_guess(st)
             qp_y, qp_u, qp_v = self._qp_triplet(qp)

@@ -29,6 +29,21 @@ def qf_to_qp(qf: float) -> float:
     return 21.0 + 4.2 * np.log(qf / 0.85) * 2.88538
 
 
+def scene_proxy(y: np.ndarray, prev_y: np.ndarray | None) -> float:
+    """Cheap per-frame complexity proxy for the lookahead window and
+    scene-cut detection: mean-pooled 8x abs temporal difference (or
+    pooled AC energy for the first frame).  ~100x cheaper than
+    frame_complexity; used only for RATIOS so the scale is free."""
+    a = y[: y.shape[0] // 8 * 8, : y.shape[1] // 8 * 8].astype(np.float32)
+    a = a.reshape(a.shape[0] // 8, 8, a.shape[1] // 8, 8).mean(axis=(1, 3))
+    if prev_y is None:
+        return float(np.abs(a - a.mean()).mean()) + 1.0
+    b = prev_y[: prev_y.shape[0] // 8 * 8,
+               : prev_y.shape[1] // 8 * 8].astype(np.float32)
+    b = b.reshape(b.shape[0] // 8, 8, b.shape[1] // 8, 8).mean(axis=(1, 3))
+    return float(np.abs(a - b).mean()) + 1.0
+
+
 def frame_complexity(y: np.ndarray, prev_y: np.ndarray | None) -> float:
     """Cheap SATD-ish complexity: 8x8 Hadamard-energy of the frame (intra)
     or of the temporal difference (inter)."""
@@ -60,21 +75,38 @@ class RateControl:
         self.cpx_sum = 0.0
         self.cpx_cnt = 0.0
         self.df_cplx = 0.5
-        self.k_param = 1.0
-        self.k_cnt = 0.0
+        # adaptive-k state per slice type (I/P/B spend very different
+        # bits per complexity; one shared k rings on type transitions)
+        self.k_param = {}
+        self.k_cnt = {}
+        self.last_qp_t = {}
         self.base_cplx = None
         self.vbv_size = self.bitrate * vbv_msec / 1000.0
         self.vbv_fullness = 0.0
         self.frames = 0
+        self.spent = 0.0
 
     # ------------------------------------------------------------------
-    def pick_qp(self, slice_type: int, slice_depth: int, cpx: float) -> int:
+    def pick_qp(self, slice_type: int, slice_depth: int, cpx: float,
+                fcst_ratio: float | None = None) -> int:
+        """fcst_ratio: current/window mean complexity ratio (in ^0.4
+        domain) over the frames already sitting in the dispatch-ahead
+        pipeline (lookahead-lite, xeve_fcst.c / get_vbv_qfactor_fcst
+        analog): the per-frame target is allocated proportionally to
+        complexity within the visible window instead of flat, so an
+        upcoming complexity jump tightens the current frame BEFORE the
+        spend lands in the buffer.  Computed by the caller in a single
+        proxy domain (the device rc_cost and the host proxy use
+        different scales)."""
+        if self.base_cplx is None:
+            self.base_cplx = max(cpx, 1.0)
+        # floor: a perfectly-predicted frame (post-cut static content)
+        # otherwise drives cpx -> 0 and the adaptive k explodes
+        cpx = max(cpx, 1e-2 * self.base_cplx)
         self.cpx_sum = self.cpx_sum * self.df_cplx + cpx
         self.cpx_cnt = self.cpx_cnt * self.df_cplx + 1.0
         cpx_avg = self.cpx_sum / self.cpx_cnt
         cpx_pow = cpx_avg ** POW_CPLX
-        if self.base_cplx is None:
-            self.base_cplx = cpx
 
         if self.rc_type == "crf":
             rf = self.crf + (1.0 if slice_depth <= 1 else 1.1 * (slice_depth + 2.0))
@@ -82,29 +114,48 @@ class RateControl:
             qf = cpx_pow / ratefactor
         else:
             target = self.bpf
+            if fcst_ratio is not None:
+                # window-proportional allocation (damped sqrt so the
+                # open-loop proxy noise does not whip the target around)
+                target *= float(np.clip(np.sqrt(fcst_ratio), 0.6, 1.6))
             if slice_type == SLICE_I:
                 target *= INTRA_RATE_RATIO
             elif slice_type == SLICE_B and slice_depth > 2:
                 target *= 0.5
             self.target_bits += self.bpf
-            if self.k_cnt == 0:
+            if not self.k_cnt.get(slice_type):
                 # bootstrap: bits ~ cpx^0.4 / qf * k, assume k from first qp
-                qf = qp_to_qf(34)
-                self.k_param = qf * target / max(cpx_pow, 1e-6)
+                qf = qp_to_qf(self.last_qp_t.get(slice_type, 34.0))
+                self.k_param[slice_type] = qf * target / max(cpx_pow, 1e-6)
             else:
-                qf = self.k_param * cpx_pow / max(target, 1.0)
-            # budget feedback: spend deficit/surplus over ~1s window
-            if self.bpf > 0:
-                drift = self.target_bits / (self.bpf * max(self.fps, 1.0))
-                qf *= float(np.clip(1.0 - 0.5 * drift, 0.5, 2.0))
+                qf = self.k_param[slice_type] * cpx_pow / max(target, 1.0)
+            # budget feedback: cumulative spend vs cumulative budget with
+            # sub-linear gain (x264-style overflow compensation) — strong
+            # enough to pull the model back when the complexity
+            # distribution shifts under it
+            if self.bpf > 0 and self.frames > 0:
+                ratio = self.spent / max(self.bpf * self.frames, 1.0)
+                qf *= float(np.clip(ratio ** 0.7, 0.5, 2.0))
             qf = self._vbv_clip(qf, target)
 
-        qp = int(np.clip(round(qf_to_qp(qf)), self.qp_min, self.qp_max))
-        return qp
+        qp = float(np.clip(qf_to_qp(qf), self.qp_min, self.qp_max))
+        # rate-of-change clamp per slice type (xeve keeps frame qps within
+        # a few steps of the previous same-type frame)
+        prev = self.last_qp_t.get(slice_type)
+        if prev is not None and self.rc_type == "abr":
+            qp = float(np.clip(qp, prev - 5.0, prev + 5.0))
+        self.last_qp_t[slice_type] = qp
+        return int(np.clip(round(qp), self.qp_min, self.qp_max))
 
     def _vbv_clip(self, qf: float, target: float) -> float:
         if self.vbv_size <= 0:
             return qf
+        # pre-clip: if landing this frame's target would push the buffer
+        # past 90%, tighten proportionally BEFORE the overshoot
+        # (get_vbv_qfactor_fcst analog, xeve_rc.c:598)
+        projected = self.vbv_fullness + target - self.bpf
+        if projected > 0.9 * self.vbv_size:
+            qf *= max(1.0, projected / (0.9 * self.vbv_size))
         if self.vbv_fullness > self.vbv_size:
             qf *= self.vbv_fullness / self.vbv_size
         return qf
@@ -115,13 +166,21 @@ class RateControl:
         qf = qp_to_qf(qp)
         if self.rc_type == "abr":
             self.target_bits -= bits
+            self.spent += bits
+            if self.base_cplx:
+                cpx = max(cpx, 1e-2 * self.base_cplx)
             k_obs = qf * bits / max(cpx ** POW_CPLX, 1e-6)
-            w = min(1.0, 3.0 / max(self.k_cnt, 1.0))
-            if self.k_cnt == 0:
-                self.k_param = k_obs
+            cnt = self.k_cnt.get(slice_type, 0.0)
+            w = min(1.0, 3.0 / max(cnt, 1.0))
+            if cnt == 0:
+                self.k_param[slice_type] = k_obs
             else:
-                self.k_param = (1 - w) * self.k_param + w * k_obs
-            self.k_cnt += 1
+                # clamp each observation: one outlier frame (scene cut,
+                # near-zero complexity) must not blow up the model
+                k_prev = self.k_param[slice_type]
+                k_obs = float(np.clip(k_obs, 0.2 * k_prev, 5.0 * k_prev))
+                self.k_param[slice_type] = (1 - w) * k_prev + w * k_obs
+            self.k_cnt[slice_type] = cnt + 1
             if self.vbv_size > 0:
                 self.vbv_fullness += bits - self.bpf
                 self.vbv_fullness = float(np.clip(self.vbv_fullness, 0,
