@@ -324,3 +324,38 @@ def test_decode_btt_suco_ra_gop16_bitstream():
                                 96, 80, i)
         assert np.array_equal(f.y, gy) and np.array_equal(f.u, gu) \
             and np.array_equal(f.v, gv), f"frame {i} (poc {f.poc})"
+
+
+def test_decode_btt_suco_ra_128ctu_bitstream():
+    """BTT+SUCO RA GOP16 at CIF with the 128 CTU: inter rect CUs,
+    sub-TB coefficients of >64 CUs, quadrant TU-edge deblock with MVs,
+    LCU-relative INTRA_STRONG bs at 128.  Golden recon pinned by
+    per-frame MD5 (display order) to keep the repo small."""
+    import hashlib
+    md5s = ['99fa09bc2de57a552d2426c4b2355754',
+            'ebf5ddb78bb22eeaab00fcf77be51d50',
+            'bd800d48609d5c758fad213d3b9619e9',
+            '4a7ed3c813f3da5431c2b0f5c990dd7b',
+            '8fe77f294305afd9bb016204096e0b5c',
+            'a2591caaaccbf6243d10c449bcf5d4a8',
+            '2c78bcd65c693f762930845dbfd5a3c9',
+            '77deb15a65ee8e897c425d782203a97c',
+            'ba658666654e4525dd34e1c56d775e3c',
+            'a1621298f4eb9c398b3cd12268b41e09',
+            'cf1ceafcd653a3a2576e237e0b7f77b0',
+            '652b3adee50f3a248702b9e9a5d9e4fb',
+            '25a056c9e9e261ef40be527a67876adc',
+            'f639421debb27c69c44943f9b28feeaa',
+            '6eb960baad54a5a0259524d94e926800',
+            '93695b566e1ded7e8d903a9218db3974',
+            '503791945e7125089000c09bfe6140a4',
+            '43af3db85b918bbd953a32ff01ed09db']
+    stream = open(os.path.join(DATA, "cif_btt_ra.evc"), "rb").read()
+    frames = BaselineIntraDecoder().decode(stream)
+    assert len(frames) == 18
+    frames = sorted(frames, key=lambda f: f.poc)
+    for i, f in enumerate(frames):
+        buf = (f.y.astype(np.uint16).tobytes()
+               + f.u.astype(np.uint16).tobytes()
+               + f.v.astype(np.uint16).tobytes())
+        assert hashlib.md5(buf).hexdigest() == md5s[i], f"frame {i}"
