@@ -359,3 +359,30 @@ def test_decode_btt_suco_ra_128ctu_bitstream():
                + f.u.astype(np.uint16).tobytes()
                + f.v.astype(np.uint16).tobytes())
         assert hashlib.md5(buf).hexdigest() == md5s[i], f"frame {i}"
+
+
+def test_decode_mvr_idx_syntax():
+    """mvr_idx (AMVR) parse validation.  The reference encoder, asked for
+    tool_amvr=1 with tool_admvp=0, emits an enc/dec-INCONSISTENT stream:
+    xevem_eco_unit writes mvr_idx bins from the param flag while the SPS
+    (which only carries tool_amvr under tool_admvp, xevem_eco.c sps
+    writer) says off — xeve_param_check normally rejects the combo
+    (xevem.c:1375) but the tool-isolation driver proceeds.  Decoding with
+    the flag forced pins our truncated-unary mvr_idx parse and the
+    mvd << mvr_idx reconstruction ahead of the full ADMVP stack."""
+    from xeve_tpu.hls import SPS
+
+    class _Dec(BaselineIntraDecoder):
+        def _setup_dims(self):
+            self.sps.tool_amvr = 1
+            super()._setup_dims()
+
+    stream = open(os.path.join(DATA, "s96_amvrbins_ld.evc"), "rb").read()
+    frames = _Dec().decode(stream)
+    assert len(frames) == 8
+    for i, f in enumerate(frames):
+        gy, gu, gv = load_rec10(os.path.join(DATA,
+                                             "s96_amvrbins_ld_rec.yuv"),
+                                96, 80, i)
+        assert np.array_equal(f.y, gy) and np.array_equal(f.u, gu) \
+            and np.array_equal(f.v, gv), f"frame {i}"

@@ -847,6 +847,10 @@ class BaselineIntraDecoder:
             self._tr(f"skip flag {skip} ctx {ctx_skip} ")
             if skip:
                 mode_intra = False
+                if self.sps.tool_mmvd:
+                    if sbac.decode_bin(ctx.mmvd_flag, 0):
+                        raise DecodeError("MMVD-coded CU (mmvd_flag=1): "
+                                          "reconstruction not implemented")
                 idx0 = sbac.read_truncate_unary_sym(ctx.mvp_idx, 0, 3, 4)
                 self._tr(f"mvp idx {idx0} ")
                 mvp0 = self._mvp_list(x_scu, y_scu, scuw, scuh, 0)
@@ -863,10 +867,22 @@ class BaselineIntraDecoder:
                 self._tr(f"pred mode {0 if pred_intra else 1} ")
                 mode_intra = bool(pred_intra)
                 if not mode_intra:
+                    mvr_idx = 0
+                    if self.sps.tool_amvr:
+                        # xevem_eco_mvr_idx: truncated unary, 4 models
+                        # (always 0 in admvp=0 streams — the baseline
+                        # analyzer searches quarter-pel only)
+                        mvr_idx = sbac.read_truncate_unary_sym(
+                            ctx.mvr_idx, 0, 5, 5)
                     direct = 0
                     if is_b:
                         direct = sbac.decode_bin(ctx.direct_mode_flag, 0)
                         self._tr(f"direct_mode_flag {direct} ")
+                    if direct and self.sps.tool_mmvd:
+                        if sbac.decode_bin(ctx.mmvd_flag, 0):
+                            raise DecodeError("MMVD-coded CU: "
+                                              "reconstruction not "
+                                              "implemented")
                     if direct:
                         mv0d, mv1d = self._mv_dir(x_scu + scuw - 1,
                                                   y_scu + scuh - 1)
@@ -896,8 +912,9 @@ class BaselineIntraDecoder:
                             self._tr(f"mvd x {mvd[0]} mvd y {mvd[1]} ")
                             mvp = self._mvp_list(x_scu, y_scu, scuw, scuh, lidx)
                             refi[lidx] = r
-                            mv[lidx] = (int(mvp[idx][0] + mvd[0]),
-                                        int(mvp[idx][1] + mvd[1]))
+                            mv[lidx] = (
+                                int(mvp[idx][0] + (mvd[0] << mvr_idx)),
+                                int(mvp[idx][1] + (mvd[1] << mvr_idx)))
 
         ipm = 0
         ipm_c = 0

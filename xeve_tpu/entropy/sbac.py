@@ -56,7 +56,7 @@ class SbacCtx:
         "ats_mode", "ats_cu_inter_flag", "ats_cu_inter_quad_flag",
         "ats_cu_inter_hor_flag", "ats_cu_inter_pos_flag",
         "btt_split_flag", "btt_split_dir", "btt_split_type",
-        "suco_flag", "mode_cons",
+        "suco_flag", "mode_cons", "mvr_idx", "mmvd_flag",
     )
 
     # field -> (init-table name, context count)
@@ -99,6 +99,9 @@ class SbacCtx:
         "btt_split_type": ("btt_split_type", 1),
         "suco_flag": ("suco_flag", 14),
         "mode_cons": ("mode_cons", 3),
+        # Main inter tool syntax (parse support; xevem_eco.c:1692,1878)
+        "mvr_idx": ("mvr_idx", 4),
+        "mmvd_flag": ("mmvd_flag", 1),
     }
 
     def __init__(self, slice_type=None, slice_qp=0, cm_init=0):
