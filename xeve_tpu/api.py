@@ -116,6 +116,14 @@ class Encoder:
             tool_htdf=p.tool_htdf,
             tool_ats=p.tool_ats,
             tool_addb=p.tool_addb,
+            sps_btt_flag=1 if p.btt else 0,
+            # fixed stage-1 geometry (matches the native split_check
+            # constants): CTU 64, min cb 4, 1:4 and ternary disabled
+            log2_ctu_size_minus5=1,
+            log2_min_cb_size_minus2=0,
+            log2_diff_ctu_max_14_cb_size=6,
+            log2_diff_ctu_max_tt_cb_size=2,
+            log2_diff_min_cb_min_tt_cb_size_minus2=1,
         )
 
     def _make_pps(self) -> PPS:
@@ -448,7 +456,8 @@ class Encoder:
                                           dquant_flag=self.sps.dquant_flag,
                                           tool_ats=p.tool_ats,
                                           tool_htdf=p.tool_htdf,
-                                          tool_addb=p.tool_addb)
+                                          tool_addb=p.tool_addb,
+                    sps_btt=p.btt)
         else:
             assert not p.aq_mode, \
                 "AQ requires the native Main intra pass (tool_htdf off)"
@@ -600,7 +609,8 @@ class Encoder:
                                     dquant_flag=self.sps.dquant_flag,
                                     tool_ats=p.tool_ats,
                                     tool_htdf=p.tool_htdf,
-                                    tool_addb=p.tool_addb)
+                                    tool_addb=p.tool_addb,
+                                    sps_btt=p.btt)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
         assert aq_map is None, "AQ/dqp requires the native coder"
         assert (refp is None or len(refp) <= 1) and \

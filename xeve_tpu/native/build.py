@@ -29,7 +29,8 @@ class XtFrameCfg(ctypes.Structure):
                 ("tool_htdf", ctypes.c_int32),
                 ("tool_addb", ctypes.c_int32),
                 ("addb_alpha_off", ctypes.c_int32),
-                ("addb_beta_off", ctypes.c_int32)]
+                ("addb_beta_off", ctypes.c_int32),
+                ("sps_btt", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):

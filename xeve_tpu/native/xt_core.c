@@ -56,6 +56,8 @@ typedef struct {
     uint16_t ats_mode[1], ats_cu_inter_flag[2];
     uint16_t ats_cu_inter_quad_flag[1], ats_cu_inter_hor_flag[3];
     uint16_t ats_cu_inter_pos_flag[1];
+    /* BTT split tree (xevem_eco.c:673) */
+    uint16_t btt_split_flag[15], btt_split_dir[5], btt_split_type[1];
 } XtCtx;
 
 static void xt_ctx_init(XtCtx *c)
@@ -659,6 +661,7 @@ typedef struct {
     int32_t tool_htdf;                      /* SPS HTDF in-loop filter */
     int32_t tool_addb;                      /* SPS ADDB advanced deblock */
     int32_t addb_alpha_off, addb_beta_off;  /* SH deblock offsets */
+    int32_t sps_btt;                        /* BTT split-tree syntax */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -674,6 +677,7 @@ typedef struct {
     const int16_t *oy, *ou, *ov;
     uint16_t *ry, *ru, *rv;         /* recon planes */
     uint8_t *map_cod, *map_if, *map_cbf, *map_skip, *map_tidx;
+    uint8_t *map_lg;                /* per-SCU leaf log2 size (BTT ctx) */
     int32_t cur_is_skip;
     int8_t *map_ipm;
     int32_t w_scu, h_scu;
@@ -1053,6 +1057,177 @@ static void xt_code_tree(XtFrame *f, int x, int y, int lg, int dqp_code,
             if (cfg->main_eipd) xt_code_cu_main(f, x, y, lg, dqp_code);
             else                xt_code_cu(f, x, y, lg, dqp_code);
         } else xt_code_cu_pb(f, x, y, lg, dqp_code);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* BTT split-tree syntax (opt-in, xevem_eco.c:673 / xevem_util.c:42).  */
+/* Stage 1: the device's quad partitions are emitted as binary-tree    */
+/* splits (square node -> BI_VER -> two tall rects -> BI_HOR), so all  */
+/* LEAF CUs stay square and the existing CU coders apply.  Geometry is */
+/* fixed to the SPS the python side writes: CTU 64, min cb 4, 1:4 and  */
+/* ternary splits disabled (log2_diff_ctu_max_14=6, tt range empty).   */
+/* ------------------------------------------------------------------ */
+
+static int xt_btt_ratio_ok(int long_side, int ratio)
+{
+    if (ratio == 0) return long_side >= 2 && long_side <= 6;  /* 1:1 */
+    if (ratio == 1) return long_side >= 3 && long_side <= 6;  /* 1:2 */
+    return 0;                                  /* 1:4 disabled (B14) */
+}
+
+static void xt_btt_allow(int lgw, int lgh, int boundary, int boundary_r,
+                         int allow[5])
+{
+    memset(allow, 0, 5 * sizeof(int));
+    allow[0] = 1;
+    if (lgw == lgh) {
+        allow[1] = xt_btt_ratio_ok(lgw, 1);
+        allow[2] = xt_btt_ratio_ok(lgw, 1);
+    } else if (lgw > lgh) {
+        int ls = (lgw - 1) > lgh ? (lgw - 1) : lgh;
+        int ratio = (lgw - 1) - lgh; if (ratio < 0) ratio = -ratio;
+        allow[2] = xt_btt_ratio_ok(lgw, lgw - lgh + 1);
+        allow[1] = xt_btt_ratio_ok(ls, ratio);
+    } else {
+        int ls = lgw > (lgh - 1) ? lgw : (lgh - 1);
+        int ratio = lgw - (lgh - 1); if (ratio < 0) ratio = -ratio;
+        allow[2] = xt_btt_ratio_ok(ls, ratio);
+        allow[1] = xt_btt_ratio_ok(lgh, lgh - lgw + 1);
+    }
+    if (boundary) {
+        allow[0] = 0;
+        if (boundary_r) allow[2] = !allow[1];
+        else { if (allow[2]) allow[1] = 0; else allow[1] = 1; }
+    }
+}
+
+/* xevem_tbl_split_flag_ctx (xevem_tbl.c:43) */
+static const uint8_t XT_SPLIT_FLAG_CTX[6][6] = {
+    {255, 4, 4, 14, 15, 15}, {4, 4, 3, 3, 2, 2}, {4, 3, 3, 2, 2, 1},
+    {14, 3, 2, 2, 1, 1}, {15, 2, 2, 1, 1, 0}, {15, 2, 1, 1, 0, 0},
+};
+
+static int xt_btt_split_ctx(XtFrame *f, int x, int y, int lgw, int lgh)
+{
+    if (!f->cfg->cm_init) return 0;
+    int cuw = 1 << lgw, cuh = 1 << lgh;
+    int x_scu = x >> 2, y_scu = y >> 2, scuw = cuw >> 2;
+    int scup = y_scu * f->w_scu + x_scu;
+    int smaller = 0;
+    const uint8_t *tid = f->map_tidx;
+    if (y_scu > 0 && (!tid || tid[scup] == tid[scup - f->w_scu]) &&
+        (1 << f->map_lg[scup - f->w_scu]) < cuw)
+        smaller++;
+    if (x_scu > 0 && f->map_cod[scup - 1] &&
+        (!tid || tid[scup] == tid[scup - 1]) &&
+        (1 << f->map_lg[scup - 1]) < cuh)
+        smaller++;
+    if (x_scu + scuw < f->w_scu && f->map_cod[scup + scuw] &&
+        (!tid || tid[scup] == tid[scup + scuw]) &&
+        (1 << f->map_lg[scup + scuw]) < cuh)
+        smaller++;
+    if (smaller > 2) smaller = 2;
+    return smaller + 3 * XT_SPLIT_FLAG_CTX[lgw - 2][lgh - 2];
+}
+
+static void xt_btt_write_split(XtFrame *f, int x, int y, int lgw, int lgh,
+                               int split)
+{
+    int cuw = 1 << lgw, cuh = 1 << lgh;
+    if (cuw < 8 && cuh < 8) return;
+    int allow[5];
+    xt_btt_allow(lgw, lgh, 0, 0, allow);
+    int sum = allow[1] + allow[2] + allow[3] + allow[4];
+    if (sum == 0) return;
+    int cfx = xt_btt_split_ctx(f, x, y, lgw, lgh);
+    xt_encode_bin(f->sbac, &f->ctx->btt_split_flag[cfx], split != 0);
+    if (!split) return;
+    {
+        int HBT = allow[2], VBT = allow[1];
+        int HTT = allow[4], VTT = allow[3];
+        int total = HBT + VBT + HTT + VTT;
+        int ctx_dir = f->cfg->cm_init ? (lgw - lgh + 2) : 0;
+        int split_dir = (split == 1 || split == 3);
+        int split_typ = (split == 3 || split == 4);
+        if (total == 4) {
+            xt_encode_bin(f->sbac, &f->ctx->btt_split_dir[ctx_dir],
+                          split_dir);
+            xt_encode_bin(f->sbac, f->ctx->btt_split_type, split_typ);
+        } else if (total == 3) {
+            xt_encode_bin(f->sbac, &f->ctx->btt_split_dir[ctx_dir],
+                          split_dir);
+            if (!HBT || !HTT) {
+                if (split_dir)
+                    xt_encode_bin(f->sbac, f->ctx->btt_split_type,
+                                  split_typ);
+            } else {
+                if (!split_dir)
+                    xt_encode_bin(f->sbac, f->ctx->btt_split_type,
+                                  split_typ);
+            }
+        } else if (total == 2) {
+            if ((HBT && HTT) || (VBT && VTT)) {
+                xt_encode_bin(f->sbac, f->ctx->btt_split_type, split_typ);
+            } else {
+                xt_encode_bin(f->sbac, &f->ctx->btt_split_dir[ctx_dir],
+                              split_dir);
+            }
+        }
+        /* total == 1: fully implied, no bins */
+    }
+}
+
+static void xt_code_tree_btt(XtFrame *f, int x, int y, int lgw, int lgh)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int cuw = 1 << lgw, cuh = 1 << lgh;
+    int in_bounds = (x + cuw <= cfg->w) && (y + cuh <= cfg->h);
+    int split;
+    if (!in_bounds) {
+        int allow[5];
+        int br = (x + cuw > cfg->w) && !(y + cuh > cfg->h);
+        xt_btt_allow(lgw, lgh, 1, br, allow);
+        split = allow[1] ? 1 : 2;           /* forced, no syntax */
+    } else if (lgw != lgh) {
+        /* rect nodes always split along the long side back to squares
+         * (quad emulation + boundary continuations) */
+        split = (lgw > lgh) ? 1 : 2;
+        xt_btt_write_split(f, x, y, lgw, lgh, split);
+    } else {
+        int want = 0;
+        if (lgw > 2) {
+            const uint8_t *sm = f->split_maps[lgw];
+            want = sm ? sm[(y >> lgw) * (cfg->w >> lgw) + (x >> lgw)] : 0;
+        }
+        split = want ? 1 : 0;               /* quad -> BI_VER first */
+        xt_btt_write_split(f, x, y, lgw, lgh, split);
+    }
+    if (split == 1) {
+        int half = cuw >> 1;
+        if (x < cfg->w && y < cfg->h)
+            xt_code_tree_btt(f, x, y, lgw - 1, lgh);
+        if (x + half < cfg->w && y < cfg->h)
+            xt_code_tree_btt(f, x + half, y, lgw - 1, lgh);
+    } else if (split == 2) {
+        int half = cuh >> 1;
+        if (x < cfg->w && y < cfg->h)
+            xt_code_tree_btt(f, x, y, lgw, lgh - 1);
+        if (x < cfg->w && y + half < cfg->h)
+            xt_code_tree_btt(f, x, y + half, lgw, lgh - 1);
+    } else {
+        int lg = lgw;   /* leaves are always square */
+        if (f->slice_type == 2 || !f->ref0) {
+            if (cfg->main_eipd) xt_code_cu_main(f, x, y, lg, 0);
+            else                xt_code_cu(f, x, y, lg, 0);
+        } else xt_code_cu_pb(f, x, y, lg, 0);
+        if (f->map_lg) {
+            int ws = cuw >> 2;
+            for (int i = 0; i < ws; i++)
+                for (int j = 0; j < ws; j++)
+                    f->map_lg[((y >> 2) + i) * f->w_scu + (x >> 2) + j] =
+                        (uint8_t)lg;
+        }
     }
 }
 
@@ -3729,7 +3904,10 @@ static void *xt_tile_worker(void *arg)
     for (int ly = job->y0; ly < job->y1; ly++)
         for (int lx = job->x0; lx < job->x1; lx++) {
             xt_rdoq_est(&ctx, &f->est);
-            xt_code_tree(f, lx << 6, ly << 6, 6, 0, 0);
+            if (cfg->sps_btt)
+                xt_code_tree_btt(f, lx << 6, ly << 6, 6, 6);
+            else
+                xt_code_tree(f, lx << 6, ly << 6, 6, 0, 0);
         }
     xt_encode_bin_trm(&sbac, 1);
     xt_sbac_finish(&sbac);
@@ -3788,6 +3966,7 @@ static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
             if (multi) {
                 job->buf = malloc(per_cap);
                 job->f.map_cod = calloc(n_scu, 1);
+                job->f.map_lg = calloc(n_scu, 1);
                 job->f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
                 job->f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
                 job->f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
@@ -3837,6 +4016,7 @@ static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
         if (multi) {
             free(job->buf);
             free(job->f.map_cod);
+            free(job->f.map_lg);
             free(job->f.leaf_x); free(job->f.leaf_y); free(job->f.leaf_lg);
             if (f->scratch) free(job->f.scratch);
         }
@@ -3873,6 +4053,7 @@ XT_API int xt_encode_intra_frame(
     f.h_scu = (H + 3) >> 2;
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
+    f.map_lg = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -3907,7 +4088,8 @@ XT_API int xt_encode_intra_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_cod); free(f.map_lg);
+    free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     return rc;
@@ -3941,6 +4123,7 @@ XT_API int xt_encode_main_intra_frame(
     f.slice_type = 2;
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
+    f.map_lg = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -3975,7 +4158,8 @@ XT_API int xt_encode_main_intra_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_cod); free(f.map_lg);
+    free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     return rc;
@@ -4020,6 +4204,7 @@ XT_API int xt_encode_frame(
     f.h_scu = (H + 3) >> 2;
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
+    f.map_lg = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -4071,7 +4256,8 @@ XT_API int xt_encode_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_if); free(f.map_cbf); free(f.map_ipm);
+    free(f.map_cod); free(f.map_lg);
+    free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_skip); free(f.map_tidx); free(f.map_qp);
     free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
     free(f.scratch);

@@ -35,6 +35,8 @@ class EncoderParams:
                                  # (reference me_ref_num, xeve_enc.c:2444)
     tile_columns: int = 1
     tile_rows: int = 1
+    btt: int = 0                 # BTT split-tree syntax (Main; stage 1:
+                                 # quad partitions emitted as binary splits)
     rc_type: str = "cq"          # cq | abr | crf
     aq_mode: int = 0             # 0 off, 1 variance AQ, 2 AQ + cutree-lite
     bitrate_kbps: float = 0.0
@@ -83,6 +85,11 @@ class EncoderParams:
             assert self.profile == 1, "tiles require the Main profile PPS"
             assert self.tile_columns <= (self.w + 63) // 64
             assert self.tile_rows <= (self.h + 63) // 64
+        if self.btt:
+            assert self.profile == 1, "BTT requires the Main profile"
+            assert self.tile_columns * self.tile_rows == 1, \
+                "BTT stage 1 is single-tile"
+            assert not self.aq_mode, "BTT stage 1 has no dqp-group support"
         return self
 
     # preset tables (speed<->quality ladder, mirroring the reference's

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("-b", "--bframes", type=int, default=0,
                     help="15: random-access GOP16 hierarchical B")
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    ap.add_argument("--btt", type=int, default=0,
+                    help="BTT split-tree syntax (Main; stage-1 quad-as-binary emission)")
     ap.add_argument("--tile-columns", type=int, default=1)
     ap.add_argument("--tile-rows", type=int, default=1)
     ap.add_argument("-m", "--threads", type=int, default=1)
@@ -89,7 +91,7 @@ def main():
         w=w, h=h, qp=args.qp, keyint=args.keyint, bframes=args.bframes,
         profile=1 if args.profile == "main" else 0,
         preset=args.preset, tune=args.tune,
-        tile_columns=args.tile_columns, tile_rows=args.tile_rows,
+        tile_columns=args.tile_columns, btt=args.btt, tile_rows=args.tile_rows,
         threads=args.threads, ref_pics=args.ref_pics,
         aq_mode=args.aq_mode,
         rc_type=args.rc if args.rc != "cqp" else "cq",
