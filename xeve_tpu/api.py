@@ -864,8 +864,21 @@ class Encoder:
                                 rec=(rec_y, rec_u, rec_v))
                 return out, (rec_y, rec_u, rec_v), self.poc - 1
             bs, rec = self.encode_frame(*yuv, analysis_pre=dev.collect(hd))
+            if p.closed_loop_ld:
+                # swap the coded frame's ring entry for its reconstruction
+                # so the NEXT P frame's ME references decoded pixels (the
+                # open-loop original-vs-recon mismatch accumulates along
+                # P chains; measured +6 BD points on LD — BDRATE.md)
+                dev.put_frame(self.poc - 1,
+                              np.asarray(rec[0], np.int16),
+                              np.asarray(rec[1], np.int16),
+                              np.asarray(rec[2], np.int16), replace=True)
             return bs, rec, self.poc - 1
 
+        # closed-loop LD cannot dispatch ahead (frame k's analysis needs
+        # frame k-1's reconstruction); open-loop overlaps `ahead` frames
+        if p.closed_loop_ld:
+            ahead = 0
         for fr in frames:
             dispatch(fr)
             if len(pending) > ahead:

@@ -408,7 +408,7 @@ class DeviceAnalyzer:
         return self._pool.submit(fn, *args, **kw)
 
     # -- frame ring ------------------------------------------------------
-    def put_frame(self, poc: int, y, u, v):
+    def put_frame(self, poc: int, y, u, v, replace: bool = False):
         """Upload one original frame (async, via the dispatcher thread).
         Arrays must be the aligned coded size.  A host-side copy is kept
         for failure recovery (SURVEY.md §5.3: the device can die
@@ -416,8 +416,10 @@ class DeviceAnalyzer:
         originals).  Re-puts of a POC already resident are no-ops so
         callers can stream uploads at frame-arrival time (overlapping the
         previous sub-GOP's coding pass) and the sub-GOP dispatch loop can
-        still put defensively."""
-        if poc in self.host_ring:
+        still put defensively.  replace=True overwrites a resident POC —
+        the closed-loop LD mode swaps originals for reconstructions so
+        P-chain analysis references what the decoder will actually see."""
+        if poc in self.host_ring and not replace:
             return
         hy = np.asarray(y, np.int16)
         hu = np.asarray(u, np.int16)

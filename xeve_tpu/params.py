@@ -37,6 +37,9 @@ class EncoderParams:
     tile_rows: int = 1
     btt: int = 0                 # BTT split-tree syntax (Main; stage 1:
                                  # quad partitions emitted as binary splits)
+    closed_loop_ld: int = 0      # LD analysis against reconstructions
+                                 # (better P-chain BD; serializes the
+                                 # analysis behind the coding pass)
     rc_type: str = "cq"          # cq | abr | crf
     aq_mode: int = 0             # 0 off, 1 variance AQ, 2 AQ + cutree-lite
     bitrate_kbps: float = 0.0
