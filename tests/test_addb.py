@@ -51,7 +51,7 @@ def _frames(n):
 
 def test_addb_native_oracle_parity():
     y, u, v = _frames(1)[0]
-    p = dict(w=W, h=H, qp=30, keyint=1, profile=1)
+    p = dict(w=W, h=H, qp=30, keyint=1, profile=1, exact_rd=0)
     b1, r1 = Encoder(EncoderParams(**p), coder="numpy").encode_frame(y, u, v)
     b2, r2 = Encoder(EncoderParams(**p), coder="native").encode_frame(y, u, v)
     assert b1 == b2

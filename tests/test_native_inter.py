@@ -33,7 +33,8 @@ def test_native_p_matches_oracle():
     frames = synth(3, 128, 64)
     outs = {}
     for coder in ("numpy", "native"):
-        enc = Encoder(EncoderParams(w=128, h=64, qp=32, keyint=0),
+        enc = Encoder(EncoderParams(w=128, h=64, qp=32, keyint=0,
+                                    exact_rd=0),
                       analysis="numpy", coder=coder)
         outs[coder] = [enc.encode_frame(*f) for f in frames]
     _assert_same(outs["numpy"], outs["native"])
@@ -44,7 +45,7 @@ def test_native_ra_b_matches_oracle():
     outs = {}
     for coder in ("numpy", "native"):
         enc = GopEncoder(EncoderParams(w=64, h=64, qp=34, keyint=0,
-                                       bframes=15),
+                                       bframes=15, exact_rd=0),
                          analysis="numpy", coder=coder)
         res = []
         for f in frames:

@@ -393,7 +393,8 @@ class Encoder:
                                           use_deblock=p.use_deblock,
                                           aq_map=self._aq_map(y, u, v),
                                           cu_qp_delta_area=self.pps.cu_qp_delta_area,
-                                          dquant_flag=self.sps.dquant_flag)
+                                          dquant_flag=self.sps.dquant_flag,
+                                          exact_rd=p.exact_rd)
         else:
             sbac = SbacEncoder()
             ctx = SbacCtx()
@@ -457,7 +458,7 @@ class Encoder:
                                           tool_ats=p.tool_ats,
                                           tool_htdf=p.tool_htdf,
                                           tool_addb=p.tool_addb,
-                    sps_btt=p.btt)
+                    sps_btt=p.btt, exact_rd=p.exact_rd)
         else:
             assert not p.aq_mode, \
                 "AQ requires the native Main intra pass (tool_htdf off)"
@@ -610,7 +611,8 @@ class Encoder:
                                     tool_ats=p.tool_ats,
                                     tool_htdf=p.tool_htdf,
                                     tool_addb=p.tool_addb,
-                                    sps_btt=p.btt)
+                                    sps_btt=p.btt,
+                                    exact_rd=p.exact_rd)
             return payload, bin_count, rec_y, rec_u, rec_v, map_mv, tl
         assert aq_map is None, "AQ/dqp requires the native coder"
         assert (refp is None or len(refp) <= 1) and \
@@ -694,7 +696,8 @@ class Encoder:
                                               use_deblock=p.use_deblock,
                                               aq_map=self._aq_map(y, u, v),
                                               cu_qp_delta_area=self.pps.cu_qp_delta_area,
-                                              dquant_flag=self.sps.dquant_flag)
+                                              dquant_flag=self.sps.dquant_flag,
+                                              exact_rd=p.exact_rd)
                 payload = bw.get_bytes() + slice_payload
                 payload += self._cabac_zero_words(bin_count, len(payload))
                 bs += wrap_nal(payload)
@@ -793,7 +796,8 @@ class Encoder:
                 use_rdoq=p.rdoq, use_deblock=p.use_deblock,
                 aq_map=self._aq_map(y, u, v),
                 cu_qp_delta_area=self.pps.cu_qp_delta_area,
-                dquant_flag=self.sps.dquant_flag)
+                dquant_flag=self.sps.dquant_flag,
+                exact_rd=p.exact_rd)
 
         def dispatch(fr):
             nonlocal disp

@@ -20,7 +20,8 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
                               main_eipd=0, tool_iqt=0, cm_init=0,
                               tile_cols=1, tile_rows=1, threads=1,
                               aq_map=None, cu_qp_delta_area=6,
-                              dquant_flag=0, tool_ats=0, tool_htdf=0, tool_addb=0, sps_btt=0):
+                              dquant_flag=0, tool_ats=0, tool_htdf=0, tool_addb=0, sps_btt=0,
+                              exact_rd=0):
     """Returns (payload_bytes, bin_count, rec_y, rec_u, rec_v,
     tile_lens).  With main_eipd the Main-profile stage-1 pass runs
     (EIPD/IQT/CM_INIT/ADCC; mirrors enc/main_intra_frame.py).  aq_map:
@@ -32,7 +33,7 @@ def encode_intra_frame_native(w, h, bd, qp, qp_u_off, qp_v_off,
                      threads,
                      1 if aq_map is not None else 0, cu_qp_delta_area,
                      dquant_flag, tool_ats, tool_htdf, tool_addb, 0, 0,
-                     sps_btt)
+                     sps_btt, 1 if exact_rd else 0)
     oy = np.ascontiguousarray(orig_y, dtype=np.int16)
     ou = np.ascontiguousarray(orig_u, dtype=np.int16)
     ov = np.ascontiguousarray(orig_v, dtype=np.int16)

@@ -30,7 +30,8 @@ class XtFrameCfg(ctypes.Structure):
                 ("tool_addb", ctypes.c_int32),
                 ("addb_alpha_off", ctypes.c_int32),
                 ("addb_beta_off", ctypes.c_int32),
-                ("sps_btt", ctypes.c_int32)]
+                ("sps_btt", ctypes.c_int32),
+                ("exact_rd", ctypes.c_int32)]
 
 
 class XtStats(ctypes.Structure):

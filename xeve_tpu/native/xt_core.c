@@ -36,6 +36,14 @@ typedef struct {
     int64_t  bin_counter;
     uint8_t *out;
     int64_t  out_len, out_cap;
+    /* bit-estimation mode (xeve's is_bitcount RDO, xeve_mode.c:304 /
+     * xeve_eco.c sbac->is_bitcount): when `est` is set the bin writers
+     * accumulate exact fractional bits (2^-15 bit units, same table as
+     * RDOQ) and adapt the context models, but never touch the range
+     * coder or the byte stream.  Trial-coding a CU in est mode from a
+     * snapshotted context state yields its exact SBAC rate. */
+    int32_t  est;
+    int64_t  est_bits;
 } XtSbac;
 
 /* context model set.  Field order MUST match gen_tables.py CTX_LAYOUT
@@ -96,7 +104,10 @@ static void xt_sbac_init(XtSbac *s, uint8_t *buf, int64_t cap)
     s->pending_byte = 0; s->is_pending = 0;
     s->stacked_ff = 0; s->stacked_zero = 0; s->bin_counter = 0;
     s->out = buf; s->out_len = 0; s->out_cap = cap;
+    s->est = 0; s->est_bits = 0;
 }
+
+static int32_t xt_entropy_bits[1024];   /* 2^-15 bit units, RDOQ table */
 
 static inline void xt_emit(XtSbac *s, uint8_t b)
 {
@@ -147,6 +158,18 @@ static void xt_encode_bin(XtSbac *s, uint16_t *model, int bin)
     s->bin_counter++;
     uint16_t state = *model >> 1;
     uint16_t mps = *model & 1;
+    if (s->est) {
+        uint16_t p = ((uint32_t)bin != mps) ? state : (uint16_t)(512 - state);
+        s->est_bits += xt_entropy_bits[p << 1];
+        if ((uint32_t)bin != mps) {
+            state = state + ((512 - state + 16) >> 5);
+            if (state > 256) { mps = 1 - mps; state = 512 - state; }
+        } else {
+            state = state - ((state + 16) >> 5);
+        }
+        *model = (uint16_t)((state << 1) | mps);
+        return;
+    }
     uint32_t lps = ((uint32_t)state * s->range) >> 9;
     if (lps < 437) lps = 437;
     s->range -= lps;
@@ -165,6 +188,7 @@ static void xt_encode_bin(XtSbac *s, uint16_t *model, int bin)
 static void xt_encode_bin_ep(XtSbac *s, int bin)
 {
     s->bin_counter++;
+    if (s->est) { s->est_bits += 32768; return; }
     s->range >>= 1;
     if (bin) s->code += s->range;
     s->range <<= 1;
@@ -175,6 +199,7 @@ static void xt_encode_bin_ep(XtSbac *s, int bin)
 static void xt_encode_bin_trm(XtSbac *s, int bin)
 {
     s->bin_counter++;
+    if (s->est) { s->est_bits += 32768; return; }
     s->range--;
     if (bin) { s->code += s->range; s->range = 1; }
     xt_renorm(s);
@@ -422,8 +447,6 @@ static int xt_quant(const int32_t *coef, int32_t *lev, int lg, int qp,
 /* RDOQ (xeve_tq.c:497 semantics, context-state bit estimates)         */
 /* ------------------------------------------------------------------ */
 
-static int32_t xt_entropy_bits[1024];
-
 static void xt_init_entropy_bits(void)
 {
     for (int i = 0; i < 1024; i++) {
@@ -662,6 +685,9 @@ typedef struct {
     int32_t tool_addb;                      /* SPS ADDB advanced deblock */
     int32_t addb_alpha_off, addb_beta_off;  /* SH deblock offsets */
     int32_t sps_btt;                        /* BTT split-tree syntax */
+    int32_t exact_rd;                       /* exact-SBAC-rate CU decisions
+                                             * (xeve_mode.c:304 is_bitcount)
+                                             * + closed-loop MV refinement */
 } XtFrameCfg;
 
 /* reference picture for inter prediction (planes are edge-padded) */
@@ -688,6 +714,10 @@ typedef struct {
     XtRdoqEst est;
     int qp_y, qp_u, qp_v;
     double lam, lam_u, lam_v;
+    double lam_px;   /* pixel-domain lambda: lam * 2^(2(bd-8)) — raw
+                      * internal-depth SSDs vs the 8-bit-normalized
+                      * distortion the reference RDO uses (xeve_sad.c:281
+                      * shifts SSD by (bd-8)<<1; we scale lambda instead) */
     int32_t *leaf_x, *leaf_y;
     int16_t *leaf_lg;
     int32_t n_leaf;
@@ -739,6 +769,7 @@ static void xt_set_cu_qp(XtFrame *f, int qp)
     f->qp_u = xt_chroma_qp(qpu_i, cfg->tool_iqt) + 6 * (bd - 8);
     f->qp_v = xt_chroma_qp(qpv_i, cfg->tool_iqt) + 6 * (bd - 8);
     f->lam = 0.57 * pow(2.0, (qp - 12) / 3.0);
+    f->lam_px = f->lam * (double)(1 << (2 * (bd - 8)));
     f->w_u = pow(2.0, (f->qp_y - f->qp_u) / 3.0);
     f->w_v = pow(2.0, (f->qp_y - f->qp_v) / 3.0);
     f->lam_u = f->lam / f->w_u;
@@ -791,6 +822,60 @@ static void xt_write_dqp_cond(XtFrame *f, int skip, int cbf_all_zero_inter,
     f->qp_prev_eco = f->cur_qp;
     f->dqp_is_coded = 1;
     f->eff_qp = f->cur_qp;
+}
+
+/* ------------------------------------------------------------------ */
+/* Exact-rate trial coding (xeve's is_bitcount RDO, xeve_mode.c:304):  */
+/* snapshot the adaptive state, trial-code syntax through the est-mode */
+/* SBAC, read the exact fractional bits, restore.                      */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    XtCtx ctx;
+    int qp_prev_eco, dqp_is_coded, eff_qp, cur_is_skip;
+    int64_t bin_counter;
+} XtEstSave;
+
+static void xt_est_begin(XtFrame *f, XtEstSave *sv)
+{
+    sv->ctx = *f->ctx;
+    sv->qp_prev_eco = f->qp_prev_eco;
+    sv->dqp_is_coded = f->dqp_is_coded;
+    sv->eff_qp = f->eff_qp;
+    sv->cur_is_skip = f->cur_is_skip;
+    sv->bin_counter = f->sbac->bin_counter;
+    f->sbac->est = 1;
+    f->sbac->est_bits = 0;
+}
+
+/* end one trial: restore the state, return its exact bits (2^-15) */
+static int64_t xt_est_end(XtFrame *f, const XtEstSave *sv)
+{
+    int64_t b = f->sbac->est_bits;
+    *f->ctx = sv->ctx;
+    f->qp_prev_eco = sv->qp_prev_eco;
+    f->dqp_is_coded = sv->dqp_is_coded;
+    f->eff_qp = sv->eff_qp;
+    f->cur_is_skip = sv->cur_is_skip;
+    f->sbac->bin_counter = sv->bin_counter;
+    f->sbac->est = 0;
+    f->sbac->est_bits = 0;
+    return b;
+}
+
+#define XT_BITS(b) ((double)(b) * (1.0 / 32768.0))
+
+/* debug isolation mask for the exact-RD features (XT_RD_MASK env var):
+ * bit0 intra mode re-decision, bit1 exact pb candidate choice,
+ * bit2 closed-loop MV refinement.  Production default: all on. */
+static int xt_rd_mask(void)
+{
+    static int mask = -1;
+    if (mask < 0) {
+        const char *e = getenv("XT_RD_MASK");
+        mask = e ? atoi(e) : 7;
+    }
+    return mask;
 }
 
 /* gather neighbours: unit=4 luma / 2 chroma, per-SCU availability */
@@ -868,9 +953,67 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
     int32_t pred_y[64 * 64], resi[64 * 64], coef[64 * 64], lev_y[64 * 64];
     int32_t pred_c[32 * 32], lev_u[32 * 32], lev_v[32 * 32];
 
-    /* --- luma --- */
     xt_gather_nb(f->ry, W, W, H, f->map_cod, f->w_scu, f->h_scu,
                  x, y, n, x_scu, y_scu, 4, bd, up, left, &ul);
+
+    /* --- closed-loop luma mode re-decision with exact SBAC rate over
+     * all 5 Baseline modes (xeve_pintra.c analyze + xeve_mode.c:304
+     * is_bitcount rate; the device's open-loop argmax is advisory) --- */
+    if (cfg->exact_rd && (xt_rd_mask() & 1)) {
+        int ipm_l = 0, ipm_u = 0;
+        if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
+            f->map_cod[y_scu * f->w_scu + x_scu - 1])
+            ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1] + 1;
+        if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
+            f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
+            ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
+        int mx = (1 << bd) - 1;
+        double best_cost = 0;
+        int best_m = ipm;
+        XtEstSave sv;
+        for (int m = 0; m < 5; m++) {
+            int32_t lev_t[64 * 64], dq[64 * 64], rr[64 * 64];
+            xt_ipred(m, up, left, ul, pred_y, n);
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++)
+                    resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j]
+                                      - pred_y[i * n + j];
+            xt_fwd_dct2(resi, coef, lg, bd);
+            int nnz;
+            if (cfg->use_rdoq)
+                nnz = xt_rdoq(coef, lev_t, lg, f->qp_y, f->lam, 0, bd,
+                              &f->est, 1, 0);
+            else
+                nnz = xt_quant(coef, lev_t, lg, f->qp_y, 1, bd, 0);
+            int64_t ssd = 0;
+            if (nnz) {
+                xt_dequant(lev_t, dq, lg, f->qp_y, bd, 0);
+                xt_inv_dct2(dq, rr, lg, bd);
+            }
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++) {
+                    int32_t v = pred_y[i * n + j];
+                    if (nnz) v = (int16_t)(rr[i * n + j] + v);
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - v;
+                    ssd += d * d;
+                }
+            xt_est_begin(f, &sv);
+            int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + m];
+            xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
+            xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz ? 1 : 0);
+            if (nnz) xt_write_coef_block(f->sbac, f->ctx, lev_t, lg, 0);
+            int64_t bits = xt_est_end(f, &sv);
+            double cost = (double)ssd + f->lam_px * XT_BITS(bits);
+            if (m == 0 || cost < best_cost) {
+                best_cost = cost;
+                best_m = m;
+            }
+        }
+        ipm = best_m;
+    }
+
+    /* --- luma --- */
     xt_ipred(ipm, up, left, ul, pred_y, n);
     for (int i = 0; i < n; i++)
         for (int j = 0; j < n; j++)
@@ -2039,6 +2182,132 @@ static void xt_write_ats_zero(XtFrame *f, int is_intra, int cbf_gate, int lg)
 /* P/B-slice CU: decide among {skip, inter MVD, intra, [temporal direct]}
  * with closed-loop costs, then code syntax + reconstruction
  * (frame_pass.py _code_cu; xeve_pinter.c:1839 candidate structure) */
+typedef struct { int dir, r0, r1, idx0, idx1, extra; int mv0[2], mv1[2]; }
+    XtInterVar;
+
+/* P/B CU syntax emission for one candidate (the per-winner blocks of
+ * xt_code_cu_pb, shared between est-mode trials and the real write;
+ * xeve_eco.c:1225 eco_unit order).  Stores/HTDF are NOT done here. */
+typedef struct {
+    int is_b, dqp_code, ctx_skip, ctx_pred;
+    int x_scu, y_scu;
+    /* skip */
+    int skip_idx;
+    /* direct */
+    int dn_y, dn_u, dn_v;
+    const int32_t *dir_ly, *dir_lu, *dir_lv;
+    /* inter */
+    const XtInterVar *sel;
+    const int32_t (*mvp)[2], (*mvp1)[2];
+    int in_y, in_u, in_v;
+    const int32_t *in_ly, *in_lu, *in_lv;
+    /* intra */
+    int ipm;
+    int it_y, it_u, it_v;
+    const int32_t *it_ly, *it_lu, *it_lv;
+} XtPbEmit;
+
+static void xt_pb_emit(XtFrame *f, int lg, int winner, const XtPbEmit *e)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int adcc = cfg->main_eipd;
+    int dqp_code = e->dqp_code;
+    #define XT_COEF(levp, lglv, ch) do { \
+        if (adcc) xt_adcc_write(f->sbac, f->ctx, (levp), (lglv), (lglv), \
+                                (ch), XT_SCAN[lglv]); \
+        else xt_write_coef_block(f->sbac, f->ctx, (levp), (lglv), (ch)); \
+    } while (0)
+
+    f->cur_is_skip = (winner == 0);
+    if (winner == 0) {          /* skip */
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[e->ctx_skip], 1);
+        xt_write_mvp_idx(f->sbac, f->ctx, e->skip_idx);
+        if (e->is_b) xt_write_mvp_idx(f->sbac, f->ctx, e->skip_idx);
+        xt_write_dqp_cond(f, 1, 0, 0, dqp_code);
+    } else if (winner == 3) {   /* temporal direct */
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[e->ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[e->ctx_pred], 0);
+        xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 1);
+        xt_write_cbf_inter(f->sbac, f->ctx, e->dn_y ? 1 : 0,
+                           e->dn_u ? 1 : 0, e->dn_v ? 1 : 0);
+        xt_write_dqp_cond(f, 0, !(e->dn_y || e->dn_u || e->dn_v),
+                          (e->dn_y || e->dn_u || e->dn_v), dqp_code);
+        xt_write_ats_zero(f, 0, (e->dn_y || e->dn_u || e->dn_v), lg);
+        if (e->dn_y) XT_COEF(e->dir_ly, lg, 0);
+        if (e->dn_u) XT_COEF(e->dir_lu, lg - 1, 1);
+        if (e->dn_v) XT_COEF(e->dir_lv, lg - 1, 1);
+    } else if (winner == 1) {   /* inter MVD */
+        const XtInterVar *sel = e->sel;
+        int pred_dir = sel->dir;
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[e->ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[e->ctx_pred], 0);
+        if (e->is_b) {
+            xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 0);
+            if (pred_dir == 2) {
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 0);
+            } else {
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 1);
+                xt_encode_bin(f->sbac, &f->ctx->inter_dir[1],
+                              pred_dir == 1 ? 1 : 0);
+            }
+        }
+        if (pred_dir == 0 || pred_dir == 2) {
+            xt_write_refi(f->sbac, f->ctx, sel->r0, f->n_ref0);
+            xt_write_mvp_idx(f->sbac, f->ctx, sel->idx0);
+            xt_write_mvd(f->sbac, f->ctx,
+                         sel->mv0[0] - e->mvp[sel->idx0][0],
+                         sel->mv0[1] - e->mvp[sel->idx0][1]);
+        }
+        if (e->is_b && (pred_dir == 1 || pred_dir == 2)) {
+            xt_write_refi(f->sbac, f->ctx, sel->r1, f->n_ref1);
+            xt_write_mvp_idx(f->sbac, f->ctx, sel->idx1);
+            xt_write_mvd(f->sbac, f->ctx,
+                         sel->mv1[0] - e->mvp1[sel->idx1][0],
+                         sel->mv1[1] - e->mvp1[sel->idx1][1]);
+        }
+        xt_write_cbf_inter(f->sbac, f->ctx, e->in_y ? 1 : 0,
+                           e->in_u ? 1 : 0, e->in_v ? 1 : 0);
+        xt_write_dqp_cond(f, 0, !(e->in_y || e->in_u || e->in_v),
+                          (e->in_y || e->in_u || e->in_v), dqp_code);
+        xt_write_ats_zero(f, 0, (e->in_y || e->in_u || e->in_v), lg);
+        if (e->in_y) XT_COEF(e->in_ly, lg, 0);
+        if (e->in_u) XT_COEF(e->in_lu, lg - 1, 1);
+        if (e->in_v) XT_COEF(e->in_lv, lg - 1, 1);
+    } else {                    /* intra */
+        xt_encode_bin(f->sbac, &f->ctx->skip_flag[e->ctx_skip], 0);
+        xt_encode_bin(f->sbac, &f->ctx->pred_mode[e->ctx_pred], 1);
+        if (cfg->main_eipd) {
+            int mpm2[2], ext[8], pims[33];
+            xt_mpm_main(f, e->x_scu, e->y_scu, mpm2, ext, pims);
+            xt_write_intra_dir_main(f->sbac, f->ctx, e->ipm, mpm2, ext,
+                                    pims);
+            xt_write_intra_dir_c_main(f->sbac, f->ctx, 0, e->ipm);
+        } else {
+            int ipm_l = 0, ipm_u = 0;
+            if (e->x_scu > 0 &&
+                f->map_if[e->y_scu * f->w_scu + e->x_scu - 1] &&
+                f->map_cod[e->y_scu * f->w_scu + e->x_scu - 1])
+                ipm_l = f->map_ipm[e->y_scu * f->w_scu + e->x_scu - 1] + 1;
+            if (e->y_scu > 0 &&
+                f->map_if[(e->y_scu - 1) * f->w_scu + e->x_scu] &&
+                f->map_cod[(e->y_scu - 1) * f->w_scu + e->x_scu])
+                ipm_u = f->map_ipm[(e->y_scu - 1) * f->w_scu + e->x_scu] + 1;
+            int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + e->ipm];
+            xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
+        }
+        xt_encode_bin(f->sbac, f->ctx->cbf_cb, e->it_u ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_cr, e->it_v ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_luma, e->it_y ? 1 : 0);
+        xt_write_dqp_cond(f, 0, 0, (e->it_y || e->it_u || e->it_v),
+                          dqp_code);
+        xt_write_ats_zero(f, 1, e->it_y, lg);
+        if (e->it_y) XT_COEF(e->it_ly, lg, 0);
+        if (e->it_u) XT_COEF(e->it_lu, lg - 1, 1);
+        if (e->it_v) XT_COEF(e->it_lv, lg - 1, 1);
+    }
+    #undef XT_COEF
+}
+
 static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -2058,7 +2327,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     if (is_b) xt_get_mvp(f, x_scu, y_scu, scuw, 1, mvp1);
 
     /* --- candidate 1: skip over MVP candidates (no residual) --- */
-    double skip_cost = 0;
+    double skip_cost = 0, skip_ssd = 0;
     int have_skip = 0, skip_idx = 0;
     int skip_mv0[2] = {0, 0}, skip_mv1[2] = {0, 0};
     int32_t seen0[4][2], seen1[4][2];
@@ -2103,6 +2372,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         if (!have_skip || cost < skip_cost) {
             have_skip = 1;
             skip_cost = cost;
+            skip_ssd = r;
             skip_idx = idx;
             skip_mv0[0] = mv0x; skip_mv0[1] = mv0y;
             skip_mv1[0] = mv1x; skip_mv1[1] = mv1y;
@@ -2113,7 +2383,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     }
 
     /* --- candidate 1b (B): temporal direct, with residual --- */
-    double direct_cost = 0;
+    double direct_cost = 0, dssd_direct = 0;
     int have_direct = 0;
     int dmv0[2] = {0, 0}, dmv1[2] = {0, 0};
     int dn_y = 0, dn_u = 0, dn_v = 0;
@@ -2135,6 +2405,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                           + xt_coef_bins(wk->dir_lu, sc * sc, dn_u)
                           + xt_coef_bins(wk->dir_lv, sc * sc, dn_v);
         direct_cost = dssd + lam * (double)dbins;
+        dssd_direct = dssd;
         have_direct = 1;
     }
 
@@ -2144,8 +2415,6 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
      * multi-ref (per-ref ME planes, xeve_pinter.c:1839 refi loop) and the
      * bi-refined plane (analyze_bi analog, xeve_pinter.c:1567) append
      * extra variants. --- */
-    typedef struct { int dir, r0, r1, idx0, idx1, extra; int mv0[2], mv1[2]; }
-        XtInterVar;
     XtInterVar vars[6];
     int n_var = 0;
     int refi_b0 = f->n_ref0 > 1 ? 1 : 0;
@@ -2252,7 +2521,54 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
             memcpy(wk->ib_pv, wk->c1_pv, sizeof(int32_t) * sc * sc);
         }
     }
-    const XtInterVar *sel = &vars[best_var];
+    XtInterVar chosen = vars[best_var];
+
+    /* --- closed-loop MV refinement (xeve_pinter.c:906 refinement step
+     * analog, done here against the true recon references): small
+     * diamond around the analyzer MV, luma SSD + exact-ish MVD rate.
+     * The analyzer searched open-loop originals; P-chains accumulate
+     * compound decision drift without this (BDRATE.md round-4 LD gap). */
+    if (cfg->exact_rd && (xt_rd_mask() & 4) && chosen.dir != 2) {
+        const XtRefPic *rp = chosen.dir == 0 ? &f->refs0[chosen.r0]
+                                             : &f->refs1[chosen.r1];
+        const int32_t (*mvpL)[2] =
+            (const int32_t (*)[2])(chosen.dir == 0 ? mvp : mvp1);
+        int *mv = chosen.dir == 0 ? chosen.mv0 : chosen.mv1;
+        int bi, bb;
+        xt_best_mvp_idx(mvpL, mv, &bi, &bb);
+        xt_mc_cu_y(f, rp, x, y, s, mv[0], mv[1], wk->c1_py);
+        double bcost = (double)xt_ssd_y(f, x, y, s, wk->c1_py)
+                       + f->lam_px * (double)bb;
+        int changed_any = 0;
+        static const int DX[8] = {1, -1, 0, 0, 1, 1, -1, -1};
+        static const int DY[8] = {0, 0, 1, -1, 1, -1, 1, -1};
+        for (int it = 0; it < 3; it++) {
+            int moved = 0;
+            for (int d = 0; d < 8; d++) {
+                int cmv[2] = { mv[0] + DX[d], mv[1] + DY[d] };
+                int ci, cb;
+                xt_best_mvp_idx(mvpL, cmv, &ci, &cb);
+                xt_mc_cu_y(f, rp, x, y, s, cmv[0], cmv[1], wk->c1_py);
+                double cc = (double)xt_ssd_y(f, x, y, s, wk->c1_py)
+                            + f->lam_px * (double)cb;
+                if (cc < bcost) {
+                    bcost = cc;
+                    mv[0] = cmv[0]; mv[1] = cmv[1];
+                    moved = 1; changed_any = 1;
+                }
+            }
+            if (!moved) break;
+        }
+        if (changed_any) {
+            int nbi, nbb;
+            xt_best_mvp_idx(mvpL, mv, &nbi, &nbb);
+            if (chosen.dir == 0) chosen.idx0 = nbi; else chosen.idx1 = nbi;
+            xt_mc_cu_y(f, rp, x, y, s, mv[0], mv[1], wk->ib_py);
+            xt_mc_cu_c(f, rp, x, y, s, mv[0], mv[1], wk->ib_pu, wk->ib_pv);
+        }
+    }
+
+    const XtInterVar *sel = &chosen;
     int pred_dir = sel->dir;   /* 0=L0, 1=L1, 2=bi */
     int idx0 = sel->idx0, idx1 = sel->idx1;
     const int *mv_me0 = sel->mv0, *mv_me1 = sel->mv1;
@@ -2304,115 +2620,73 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         + xt_coef_bins(wk->it_lv, sc * sc, it_v);
     double cost_intra = ssd_c + lam * (double)bins_intra;
 
-    /* --- choose (first strict minimum: skip, inter, intra, direct) --- */
-    int winner = 0;
-    double best = skip_cost;
-    if (cost_inter < best) { best = cost_inter; winner = 1; }
-    if (cost_intra < best) { best = cost_intra; winner = 2; }
-    if (have_direct && direct_cost < best) { best = direct_cost; winner = 3; }
-
     int ctx_skip, ctx_pred;
     xt_ctx_flags(f, x_scu, y_scu, scuw, scuh, &ctx_skip, &ctx_pred);
-    int adcc = cfg->main_eipd;
-    #define XT_COEF(levp, lglv, ch) do { \
-        if (adcc) xt_adcc_write(f->sbac, f->ctx, (levp), (lglv), (lglv), \
-                                (ch), XT_SCAN[lglv]); \
-        else xt_write_coef_block(f->sbac, f->ctx, (levp), (lglv), (ch)); \
-    } while (0)
 
-    f->cur_is_skip = (winner == 0);
-    if (winner == 0) {          /* skip */
-        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 1);
-        xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
-        if (is_b) xt_write_mvp_idx(f->sbac, f->ctx, skip_idx);
-        xt_write_dqp_cond(f, 1, 0, 0, dqp_code);
+    XtPbEmit em;
+    em.is_b = is_b; em.dqp_code = dqp_code;
+    em.ctx_skip = ctx_skip; em.ctx_pred = ctx_pred;
+    em.x_scu = x_scu; em.y_scu = y_scu;
+    em.skip_idx = skip_idx;
+    em.dn_y = dn_y; em.dn_u = dn_u; em.dn_v = dn_v;
+    em.dir_ly = wk->dir_ly; em.dir_lu = wk->dir_lu; em.dir_lv = wk->dir_lv;
+    em.sel = sel;
+    em.mvp = (const int32_t (*)[2])mvp;
+    em.mvp1 = (const int32_t (*)[2])mvp1;
+    em.in_y = in_y; em.in_u = in_u; em.in_v = in_v;
+    em.in_ly = wk->in_ly; em.in_lu = wk->in_lu; em.in_lv = wk->in_lv;
+    em.ipm = ipm;
+    em.it_y = it_y; em.it_u = it_u; em.it_v = it_v;
+    em.it_ly = wk->it_ly; em.it_lu = wk->it_lu; em.it_lv = wk->it_lv;
+
+    /* --- choose --- */
+    int winner = 0;
+    if (cfg->exact_rd && (xt_rd_mask() & 2)) {
+        /* exact SBAC rate per candidate (is_bitcount trial coding) */
+        double best = 1e300;
+        for (int cand = 0; cand < 4; cand++) {
+            if (cand == 3 && !have_direct) continue;
+            double ssd = cand == 0 ? skip_ssd :
+                         cand == 1 ? ssd_i :
+                         cand == 2 ? ssd_c : dssd_direct;
+            XtEstSave sv;
+            xt_est_begin(f, &sv);
+            xt_pb_emit(f, lg, cand, &em);
+            int64_t bits = xt_est_end(f, &sv);
+            double cost = ssd + f->lam_px * XT_BITS(bits);
+            if (cost < best) { best = cost; winner = cand; }
+        }
+    } else {
+        /* legacy proxy-rate choice (first strict minimum:
+         * skip, inter, intra, direct) */
+        double best = skip_cost;
+        if (cost_inter < best) { best = cost_inter; winner = 1; }
+        if (cost_intra < best) { best = cost_intra; winner = 2; }
+        if (have_direct && direct_cost < best) {
+            best = direct_cost; winner = 3;
+        }
+    }
+
+    xt_pb_emit(f, lg, winner, &em);
+
+    if (winner == 0) {
         xt_store_cu_pb(f, x, y, lg, wk->skip_py, wk->skip_pu, wk->skip_pv,
                        0, 0, 0, skip_mv0, is_b ? skip_mv1 : NULL);
-    } else if (winner == 3) {   /* temporal direct */
-        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
-        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 0);
-        xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 1);
-        xt_write_cbf_inter(f->sbac, f->ctx, dn_y ? 1 : 0, dn_u ? 1 : 0,
-                           dn_v ? 1 : 0);
-        xt_write_dqp_cond(f, 0, !(dn_y || dn_u || dn_v),
-                          (dn_y || dn_u || dn_v), dqp_code);
-        xt_write_ats_zero(f, 0, (dn_y || dn_u || dn_v), lg);
-        if (dn_y) XT_COEF(wk->dir_ly, lg, 0);
-        if (dn_u) XT_COEF(wk->dir_lu, lg - 1, 1);
-        if (dn_v) XT_COEF(wk->dir_lv, lg - 1, 1);
+    } else if (winner == 3) {
         xt_store_cu_pb(f, x, y, lg, wk->dir_ry, wk->dir_ru, wk->dir_rv,
                        dn_y, 0, 0, dmv0, dmv1);
-    } else if (winner == 1) {   /* inter MVD */
-        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
-        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 0);
-        if (is_b) {
-            xt_encode_bin(f->sbac, f->ctx->direct_mode_flag, 0);
-            if (pred_dir == 2) {
-                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 0);
-            } else {
-                xt_encode_bin(f->sbac, &f->ctx->inter_dir[0], 1);
-                xt_encode_bin(f->sbac, &f->ctx->inter_dir[1],
-                              pred_dir == 1 ? 1 : 0);
-            }
-        }
-        if (pred_dir == 0 || pred_dir == 2) {
-            xt_write_refi(f->sbac, f->ctx, sel->r0, f->n_ref0);
-            xt_write_mvp_idx(f->sbac, f->ctx, idx0);
-            xt_write_mvd(f->sbac, f->ctx,
-                         mv_me0[0] - mvp[idx0][0], mv_me0[1] - mvp[idx0][1]);
-        }
-        if (is_b && (pred_dir == 1 || pred_dir == 2)) {
-            xt_write_refi(f->sbac, f->ctx, sel->r1, f->n_ref1);
-            xt_write_mvp_idx(f->sbac, f->ctx, idx1);
-            xt_write_mvd(f->sbac, f->ctx,
-                         mv_me1[0] - mvp1[idx1][0], mv_me1[1] - mvp1[idx1][1]);
-        }
-        xt_write_cbf_inter(f->sbac, f->ctx, in_y ? 1 : 0, in_u ? 1 : 0,
-                           in_v ? 1 : 0);
-        xt_write_dqp_cond(f, 0, !(in_y || in_u || in_v),
-                          (in_y || in_u || in_v), dqp_code);
-        xt_write_ats_zero(f, 0, (in_y || in_u || in_v), lg);
-        if (in_y) XT_COEF(wk->in_ly, lg, 0);
-        if (in_u) XT_COEF(wk->in_lu, lg - 1, 1);
-        if (in_v) XT_COEF(wk->in_lv, lg - 1, 1);
+    } else if (winner == 1) {
         xt_store_cu_pb_r(f, x, y, lg, wk->in_ry, wk->in_ru, wk->in_rv,
                        in_y, 0, 0,
                        (pred_dir == 0 || pred_dir == 2) ? mv_me0 : NULL,
                        (is_b && (pred_dir == 1 || pred_dir == 2)) ? mv_me1 : NULL,
                        sel->r0 < 0 ? 0 : sel->r0, sel->r1 < 0 ? 0 : sel->r1);
-    } else {                    /* intra */
-        xt_encode_bin(f->sbac, &f->ctx->skip_flag[ctx_skip], 0);
-        xt_encode_bin(f->sbac, &f->ctx->pred_mode[ctx_pred], 1);
-        if (cfg->main_eipd) {
-            int mpm2[2], ext[8], pims[33];
-            xt_mpm_main(f, x_scu, y_scu, mpm2, ext, pims);
-            xt_write_intra_dir_main(f->sbac, f->ctx, ipm, mpm2, ext, pims);
-            xt_write_intra_dir_c_main(f->sbac, f->ctx, 0, ipm);
-        } else {
-            int ipm_l = 0, ipm_u = 0;
-            if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
-                f->map_cod[y_scu * f->w_scu + x_scu - 1])
-                ipm_l = f->map_ipm[y_scu * f->w_scu + x_scu - 1] + 1;
-            if (y_scu > 0 && f->map_if[(y_scu - 1) * f->w_scu + x_scu] &&
-                f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
-                ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
-            int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + ipm];
-            xt_write_unary(f->sbac, f->ctx->intra_dir, 2, rank);
-        }
-        xt_encode_bin(f->sbac, f->ctx->cbf_cb, it_u ? 1 : 0);
-        xt_encode_bin(f->sbac, f->ctx->cbf_cr, it_v ? 1 : 0);
-        xt_encode_bin(f->sbac, f->ctx->cbf_luma, it_y ? 1 : 0);
-        xt_write_dqp_cond(f, 0, 0, (it_y || it_u || it_v), dqp_code);
-        xt_write_ats_zero(f, 1, it_y, lg);
-        if (it_y) XT_COEF(wk->it_ly, lg, 0);
-        if (it_u) XT_COEF(wk->it_lu, lg - 1, 1);
-        if (it_v) XT_COEF(wk->it_lv, lg - 1, 1);
+    } else {
         xt_store_cu_pb(f, x, y, lg, wk->it_ry, wk->it_ru, wk->it_rv,
                        it_y, 1, ipm, NULL, NULL);
         /* HTDF on intra CUs in P/B slices (decoder parity: intra-only) */
         if (cfg->tool_htdf) xt_htdf_cu(f, x, y, s, 1);
     }
-    #undef XT_COEF
 }
 
 /* ------------------------------------------------------------------ */
@@ -3084,6 +3358,115 @@ static void xt_ipred_main(int ipm, const int32_t *up, const int32_t *left,
     #undef L
 }
 
+/* Hadamard SATD (xeve_sad.c:xeve_had semantics, 8x8/4x4 tiling with the
+ * reference's normalization) for the intra mode pre-ranking. */
+static int64_t xt_had8x8(const int32_t *o, int os, const int32_t *p, int ps)
+{
+    int64_t diff[64], m1[64], m2[64], m3[64];
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++)
+            diff[i * 8 + j] = o[i * os + j] - p[i * ps + j];
+    for (int i = 0; i < 8; i++) {   /* horizontal */
+        int jj = i << 3;
+        m2[jj + 0] = diff[jj + 0] + diff[jj + 4];
+        m2[jj + 1] = diff[jj + 1] + diff[jj + 5];
+        m2[jj + 2] = diff[jj + 2] + diff[jj + 6];
+        m2[jj + 3] = diff[jj + 3] + diff[jj + 7];
+        m2[jj + 4] = diff[jj + 0] - diff[jj + 4];
+        m2[jj + 5] = diff[jj + 1] - diff[jj + 5];
+        m2[jj + 6] = diff[jj + 2] - diff[jj + 6];
+        m2[jj + 7] = diff[jj + 3] - diff[jj + 7];
+        m1[jj + 0] = m2[jj + 0] + m2[jj + 2];
+        m1[jj + 1] = m2[jj + 1] + m2[jj + 3];
+        m1[jj + 2] = m2[jj + 0] - m2[jj + 2];
+        m1[jj + 3] = m2[jj + 1] - m2[jj + 3];
+        m1[jj + 4] = m2[jj + 4] + m2[jj + 6];
+        m1[jj + 5] = m2[jj + 5] + m2[jj + 7];
+        m1[jj + 6] = m2[jj + 4] - m2[jj + 6];
+        m1[jj + 7] = m2[jj + 5] - m2[jj + 7];
+        m2[jj + 0] = m1[jj + 0] + m1[jj + 1];
+        m2[jj + 1] = m1[jj + 0] - m1[jj + 1];
+        m2[jj + 2] = m1[jj + 2] + m1[jj + 3];
+        m2[jj + 3] = m1[jj + 2] - m1[jj + 3];
+        m2[jj + 4] = m1[jj + 4] + m1[jj + 5];
+        m2[jj + 5] = m1[jj + 4] - m1[jj + 5];
+        m2[jj + 6] = m1[jj + 6] + m1[jj + 7];
+        m2[jj + 7] = m1[jj + 6] - m1[jj + 7];
+    }
+    for (int i = 0; i < 8; i++) {   /* vertical */
+        m3[0 * 8 + i] = m2[0 * 8 + i] + m2[4 * 8 + i];
+        m3[1 * 8 + i] = m2[1 * 8 + i] + m2[5 * 8 + i];
+        m3[2 * 8 + i] = m2[2 * 8 + i] + m2[6 * 8 + i];
+        m3[3 * 8 + i] = m2[3 * 8 + i] + m2[7 * 8 + i];
+        m3[4 * 8 + i] = m2[0 * 8 + i] - m2[4 * 8 + i];
+        m3[5 * 8 + i] = m2[1 * 8 + i] - m2[5 * 8 + i];
+        m3[6 * 8 + i] = m2[2 * 8 + i] - m2[6 * 8 + i];
+        m3[7 * 8 + i] = m2[3 * 8 + i] - m2[7 * 8 + i];
+        m1[0 * 8 + i] = m3[0 * 8 + i] + m3[2 * 8 + i];
+        m1[1 * 8 + i] = m3[1 * 8 + i] + m3[3 * 8 + i];
+        m1[2 * 8 + i] = m3[0 * 8 + i] - m3[2 * 8 + i];
+        m1[3 * 8 + i] = m3[1 * 8 + i] - m3[3 * 8 + i];
+        m1[4 * 8 + i] = m3[4 * 8 + i] + m3[6 * 8 + i];
+        m1[5 * 8 + i] = m3[5 * 8 + i] + m3[7 * 8 + i];
+        m1[6 * 8 + i] = m3[4 * 8 + i] - m3[6 * 8 + i];
+        m1[7 * 8 + i] = m3[5 * 8 + i] - m3[7 * 8 + i];
+        m2[0 * 8 + i] = m1[0 * 8 + i] + m1[1 * 8 + i];
+        m2[1 * 8 + i] = m1[0 * 8 + i] - m1[1 * 8 + i];
+        m2[2 * 8 + i] = m1[2 * 8 + i] + m1[3 * 8 + i];
+        m2[3 * 8 + i] = m1[2 * 8 + i] - m1[3 * 8 + i];
+        m2[4 * 8 + i] = m1[4 * 8 + i] + m1[5 * 8 + i];
+        m2[5 * 8 + i] = m1[4 * 8 + i] - m1[5 * 8 + i];
+        m2[6 * 8 + i] = m1[6 * 8 + i] + m1[7 * 8 + i];
+        m2[7 * 8 + i] = m1[6 * 8 + i] - m1[7 * 8 + i];
+    }
+    int64_t sum = 0;
+    for (int i = 0; i < 64; i++) sum += m2[i] < 0 ? -m2[i] : m2[i];
+    return (sum + 2) >> 2;
+}
+
+static int64_t xt_had4x4(const int32_t *o, int os, const int32_t *p, int ps)
+{
+    int64_t d[16], m[16];
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+            d[i * 4 + j] = o[i * os + j] - p[i * ps + j];
+    for (int k = 0; k < 16; k += 4) {
+        int64_t a = d[k] + d[k + 2], b = d[k + 1] + d[k + 3];
+        int64_t c = d[k] - d[k + 2], e = d[k + 1] - d[k + 3];
+        m[k] = a + b; m[k + 1] = a - b; m[k + 2] = c + e; m[k + 3] = c - e;
+    }
+    for (int k = 0; k < 4; k++) {
+        int64_t a = m[k] + m[k + 8], b = m[k + 4] + m[k + 12];
+        int64_t c = m[k] - m[k + 8], e = m[k + 4] - m[k + 12];
+        d[k] = a + b; d[k + 4] = a - b; d[k + 8] = c + e; d[k + 12] = c - e;
+    }
+    int64_t sum = 0;
+    for (int i = 0; i < 16; i++) sum += d[i] < 0 ? -d[i] : d[i];
+    return (sum + 1) >> 1;
+}
+
+/* SATD of an n x n prediction vs the original at (x, y) */
+static int64_t xt_satd(const XtFrame *f, int x, int y, int n,
+                       const int32_t *pred)
+{
+    int W = f->cfg->w;
+    static __thread int32_t ob[64 * 64];
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++)
+            ob[i * n + j] = f->oy[(y + i) * W + x + j];
+    int64_t s = 0;
+    if (n >= 8) {
+        for (int i = 0; i < n; i += 8)
+            for (int j = 0; j < n; j += 8)
+                s += xt_had8x8(ob + i * n + j, n, pred + i * n + j, n);
+    } else {
+        for (int i = 0; i < n; i += 4)
+            for (int j = 0; j < n; j += 4)
+                s += xt_had4x4(ob + i * n + j, n, pred + i * n + j, n);
+    }
+    return s;
+}
+
 /* MPM / extended MPM / full ranking, no-right-neighbour subset of
  * xevem_get_mpm.  The right SCU (y_scu, x_scu+scuw) is NEVER coded before
  * the current CU in Morton (z-order) scan without SUCO, so the valid_r
@@ -3698,6 +4081,101 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
     /* --- luma --- */
     xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
                 x, y, n, x_scu, y_scu, 4, bd, up, left);
+
+    /* --- closed-loop EIPD re-decision with exact SBAC rate over a small
+     * candidate set around the device's 33-mode argmax (xevem_pintra.c
+     * analyze + is_bitcount rate): the open-loop analysis predicted from
+     * originals; re-evaluate against the true recon neighbours. --- */
+    if (cfg->exact_rd && (xt_rd_mask() & 1)) {
+        int mpm[2], ext[8], pims[33];
+        xt_mpm_main(f, x_scu, y_scu, mpm, ext, pims);
+        /* stage 1 — SATD pre-ranking of ALL 33 modes against the recon
+         * neighbours (make_ipred_list analog, xevem_pintra.c:70: satd +
+         * sqrt(lambda)*mode-bits), then full exact-rate RDO on the top-K
+         * plus the MPMs and the device argmax. */
+        int cands[10];
+        int n_cand = 0;
+        {
+            double srt = sqrt(f->lam_px);
+            double sc_best[4] = { 1e300, 1e300, 1e300, 1e300 };
+            int sc_mode[4] = { -1, -1, -1, -1 };
+            XtEstSave sv1;
+            for (int m = 0; m < 33; m++) {
+                xt_ipred_main(m, up, left, pred_y, n, bd);
+                int64_t satd = xt_satd(f, x, y, n, pred_y);
+                xt_est_begin(f, &sv1);
+                xt_write_intra_dir_main(f->sbac, f->ctx, m, mpm, ext, pims);
+                int64_t mbits = xt_est_end(f, &sv1);
+                double c = (double)satd + srt * XT_BITS(mbits);
+                for (int k = 0; k < 4; k++)
+                    if (c < sc_best[k]) {
+                        for (int t = 3; t > k; t--) {
+                            sc_best[t] = sc_best[t - 1];
+                            sc_mode[t] = sc_mode[t - 1];
+                        }
+                        sc_best[k] = c;
+                        sc_mode[k] = m;
+                        break;
+                    }
+            }
+            for (int k = 0; k < 4; k++)
+                if (sc_mode[k] >= 0) cands[n_cand++] = sc_mode[k];
+            cands[n_cand++] = mpm[0];
+            cands[n_cand++] = mpm[1];
+            cands[n_cand++] = ipm;
+        }
+        int mx = (1 << bd) - 1;
+        double best_cost = 0;
+        int best_m = ipm, have = 0;
+        uint64_t tried = 0;
+        XtEstSave sv;
+        for (int ci = 0; ci < n_cand; ci++) {
+            int m = cands[ci];
+            if (m < 0 || m > 32 || (tried & (1ull << m))) continue;
+            tried |= 1ull << m;
+            int32_t lev_t[64 * 64], dq[64 * 64], rr[64 * 64];
+            xt_ipred_main(m, up, left, pred_y, n, bd);
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++)
+                    resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j]
+                                      - pred_y[i * n + j];
+            xt_fwd_dct2(resi, coef, lg, bd);
+            int nnz;
+            if (cfg->use_rdoq)
+                nnz = xt_rdoq_adcc(coef, lev_t, lg, f->qp_y, f->lam, 0, bd,
+                                   &f->est, 1, iqt);
+            else
+                nnz = xt_quant(coef, lev_t, lg, f->qp_y, 1, bd, iqt);
+            int64_t ssd = 0;
+            if (nnz) {
+                xt_dequant(lev_t, dq, lg, f->qp_y, bd, iqt);
+                if (iqt) xt_inv_dct2_iqt(dq, rr, lg, bd);
+                else xt_inv_dct2(dq, rr, lg, bd);
+            }
+            for (int i = 0; i < n; i++)
+                for (int j = 0; j < n; j++) {
+                    int32_t v = pred_y[i * n + j];
+                    if (nnz) v = (int16_t)(rr[i * n + j] + v);
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - v;
+                    ssd += d * d;
+                }
+            xt_est_begin(f, &sv);
+            xt_write_intra_dir_main(f->sbac, f->ctx, m, mpm, ext, pims);
+            xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz ? 1 : 0);
+            if (nnz) xt_adcc_write(f->sbac, f->ctx, lev_t, lg, lg, 0,
+                                   XT_SCAN[lg]);
+            int64_t bits = xt_est_end(f, &sv);
+            double cost = (double)ssd + f->lam_px * XT_BITS(bits);
+            if (!have || cost < best_cost) {
+                have = 1;
+                best_cost = cost;
+                best_m = m;
+            }
+        }
+        ipm = best_m;
+    }
+
     xt_ipred_main(ipm, up, left, pred_y, n, bd);
     for (int i = 0; i < n; i++)
         for (int j = 0; j < n; j++)
@@ -3754,9 +4232,28 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
                                 - rec_c[i * n + j];
                     ssd += d * d;
                 }
-            int64_t bins = xt_coef_bins(lev_c, n * n, nnz)
-                + (cand == 1 ? 3 : (ats_ok && nnz ? 1 : 0));
-            double cost = (double)ssd + f->lam * (double)bins;
+            double cost;
+            if (cfg->exact_rd) {
+                /* exact SBAC rate of the candidate's luma syntax */
+                XtEstSave sv;
+                xt_est_begin(f, &sv);
+                xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz ? 1 : 0);
+                if (ats_ok && nnz) {
+                    xt_encode_bin_ep(f->sbac, cand);
+                    if (cand) {
+                        xt_encode_bin(f->sbac, f->ctx->ats_mode, 0);
+                        xt_encode_bin(f->sbac, f->ctx->ats_mode, 0);
+                    }
+                }
+                if (nnz) xt_adcc_write(f->sbac, f->ctx, lev_c, lg, lg, 0,
+                                       XT_SCAN[lg]);
+                int64_t bits = xt_est_end(f, &sv);
+                cost = (double)ssd + f->lam_px * XT_BITS(bits);
+            } else {
+                int64_t bins = xt_coef_bins(lev_c, n * n, nnz)
+                    + (cand == 1 ? 3 : (ats_ok && nnz ? 1 : 0));
+                cost = (double)ssd + f->lam * (double)bins;
+            }
             if (!have || cost < best_cost) {
                 have = 1;
                 best_cost = cost;

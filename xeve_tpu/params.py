@@ -40,6 +40,10 @@ class EncoderParams:
     closed_loop_ld: int = 0      # LD analysis against reconstructions
                                  # (better P-chain BD; serializes the
                                  # analysis behind the coding pass)
+    exact_rd: int = 1            # exact-SBAC-rate CU decisions + closed-loop
+                                 # MV refinement in the native pass (xeve's
+                                 # is_bitcount RDO, xeve_mode.c:304); 0 =
+                                 # legacy proxy-rate decisions
     rc_type: str = "cq"          # cq | abr | crf
     aq_mode: int = 0             # 0 off, 1 variance AQ, 2 AQ + cutree-lite
     bitrate_kbps: float = 0.0
