@@ -153,6 +153,7 @@ def main():
         "ra_ref2": (0, 0, 15, {"ref_pics": 2}, ("--ref", "2")),
         "ra_aq": (0, 0, 15, {"aq_mode": 2}, ("--aq", "1")),
         "ai_main": (1, 1, 0, None, ()),
+        "ai_main_btt": (1, 1, 0, {"btt": 1}, ()),
         "ra_main": (1, 0, 15, None, ()),
     }
     out = []

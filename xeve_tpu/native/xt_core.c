@@ -444,6 +444,171 @@ static int xt_quant(const int32_t *coef, int32_t *lev, int lg, int qp,
 }
 
 /* ------------------------------------------------------------------ */
+/* Rectangular (BTT) transform/quant twins: exact integer ports of     */
+/* ops/reference_kernels.py forward_dct2/inverse_dct2/quant/dequant    */
+/* (themselves conformance-proven against reference BTT streams).     */
+/* ------------------------------------------------------------------ */
+
+static const uint16_t *xt_scan_wh(int lgw, int lgh)
+{
+    if (lgw == lgh) return XT_SCAN[lgw];
+    if (lgw == lgh + 1)
+        switch (lgw) {
+        case 2: return XT_SCAN_4x2;
+        case 3: return XT_SCAN_8x4;
+        case 4: return XT_SCAN_16x8;
+        case 5: return XT_SCAN_32x16;
+        case 6: return XT_SCAN_64x32;
+        }
+    if (lgh == lgw + 1)
+        switch (lgh) {
+        case 2: return XT_SCAN_2x4;
+        case 3: return XT_SCAN_4x8;
+        case 4: return XT_SCAN_8x16;
+        case 5: return XT_SCAN_16x32;
+        case 6: return XT_SCAN_32x64;
+        }
+    return 0;   /* 1:4+ shapes never coded (SPS disables them) */
+}
+
+static void xt_fwd_dct2_wh(const int32_t *resi, int32_t *coef, int lgw,
+                           int lgh, int bd)
+{
+    if (lgw == lgh) { xt_fwd_dct2(resi, coef, lgw, bd); return; }
+    int w = 1 << lgw, h = 1 << lgh;
+    const int8_t *Tw = XT_TM[lgw], *Th = XT_TM[lgh];
+    int shift = (lgw - 1 + bd - 8) + (lgh + 6);
+    int64_t add = 1ll << (shift - 1);
+    static __thread int64_t tmp[64 * 64];   /* tmp[u][j] */
+    for (int u = 0; u < w; u++) {
+        const int8_t *t = Tw + u * w;
+        for (int j = 0; j < h; j++) {
+            int64_t acc = 0;
+            const int32_t *src = resi + j * w;
+            for (int k = 0; k < w; k++) acc += (int64_t)t[k] * src[k];
+            tmp[u * h + j] = acc;
+        }
+    }
+    for (int v = 0; v < h; v++) {
+        const int8_t *t = Th + v * h;
+        for (int u = 0; u < w; u++) {
+            int64_t acc = 0;
+            const int64_t *m = tmp + u * h;
+            for (int j = 0; j < h; j++) acc += (int64_t)t[j] * m[j];
+            coef[v * w + u] = (int32_t)((acc + add) >> shift);
+        }
+    }
+}
+
+static void xt_inv_dct2_wh(const int32_t *coef, int32_t *resi, int lgw,
+                           int lgh, int bd)
+{
+    if (lgw == lgh) { xt_inv_dct2(coef, resi, lgw, bd); return; }
+    int w = 1 << lgw, h = 1 << lgh;
+    const int8_t *Tw = XT_TM[lgw], *Th = XT_TM[lgh];
+    int shift = 7 + (12 - (bd - 8));
+    int64_t add = 1ll << (shift - 1);
+    static __thread int32_t tmp[64 * 64];   /* tmp[k][j]: stage-1 cols */
+    for (int j = 0; j < w; j++)
+        for (int k = 0; k < h; k++) {
+            int64_t acc = 0;
+            for (int v = 0; v < h; v++)
+                acc += (int64_t)Th[v * h + k] * coef[v * w + j];
+            if (acc > 2147483647ll) acc = 2147483647ll;
+            if (acc < -2147483647ll) acc = -2147483647ll;
+            tmp[k * w + j] = (int32_t)acc;
+        }
+    for (int k = 0; k < h; k++)
+        for (int c = 0; c < w; c++) {
+            int64_t acc = 0;
+            const int32_t *m = tmp + k * w;
+            for (int u = 0; u < w; u++)
+                acc += (int64_t)m[u] * Tw[u * w + c];
+            acc = (acc + add) >> shift;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            resi[k * w + c] = (int32_t)acc;
+        }
+}
+
+static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg,
+                            int bd);
+
+/* IQT rect inverse (xevem_itdq.c:553 per-stage rounding, 16-bit clamps) */
+static void xt_inv_dct2_iqt_wh(const int32_t *coef, int32_t *resi, int lgw,
+                               int lgh, int bd)
+{
+    if (lgw == lgh) { xt_inv_dct2_iqt(coef, resi, lgw, bd); return; }
+    int w = 1 << lgw, h = 1 << lgh;
+    const int8_t *Tw = XT_TM[lgw], *Th = XT_TM[lgh];
+    static __thread int32_t b1[64 * 64];        /* b1[j][v]: cols done */
+    for (int j = 0; j < w; j++)
+        for (int v = 0; v < h; v++) {
+            int64_t acc = 0;
+            for (int k = 0; k < h; k++)
+                acc += (int64_t)coef[k * w + j] * Th[k * h + v];
+            acc = (acc + 64) >> 7;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            b1[j * h + v] = (int32_t)acc;
+        }
+    int s2 = 12 - (bd - 8);
+    int64_t add = 1ll << (s2 - 1);
+    for (int v = 0; v < h; v++)
+        for (int u = 0; u < w; u++) {
+            int64_t acc = 0;
+            for (int j = 0; j < w; j++)
+                acc += (int64_t)b1[j * h + v] * Tw[j * w + u];
+            acc = (acc + add) >> s2;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            resi[v * w + u] = (int32_t)acc;
+        }
+}
+
+static int xt_quant_wh(const int32_t *coef, int32_t *lev, int lgw, int lgh,
+                       int qp, int slice_is_i, int bd, int iqt)
+{
+    int n2 = 1 << (lgw + lgh);
+    int log2_size = (lgw + lgh) >> 1;
+    int scale = iqt ? XT_QUANT_SCALE_IQT[qp % 6] : XT_QUANT_SCALE[qp % 6];
+    int tr_shift = 15 - bd - log2_size;
+    int shift = 14 + tr_shift + qp / 6;
+    int64_t offset = (int64_t)(slice_is_i ? 171 : 85) << (shift - 9);
+    int nnz = 0;
+    for (int i = 0; i < n2; i++) {
+        int64_t a = coef[i] < 0 ? -(int64_t)coef[i] : coef[i];
+        int64_t l = (a * scale + offset) >> shift;
+        if (l > 32767) l = 32767;
+        lev[i] = coef[i] < 0 ? (int32_t)-l : (int32_t)l;
+        nnz += (l != 0);
+    }
+    return nnz;
+}
+
+static void xt_dequant_wh(const int32_t *lev, int32_t *out, int lgw,
+                          int lgh, int qp, int bd, int iqt)
+{
+    int n2 = 1 << (lgw + lgh);
+    int log2_size = (lgw + lgh) >> 1;
+    int odd = (lgw + lgh) & 1;
+    int ns_shift = odd ? 8 : 0;
+    int64_t ns_scale = odd ? 181 : 1;
+    int scale = (iqt ? XT_DQ_SCALE_MAIN[qp % 6] : XT_DQ_SCALE[qp % 6])
+                << (qp / 6);
+    int tr_shift = 15 - bd - log2_size;
+    int shift = 20 - 14 - tr_shift + ns_shift;
+    int64_t offset = (shift == 0) ? 0 : (1ll << (shift - 1));
+    int64_t sc = (int64_t)scale * ns_scale;
+    for (int i = 0; i < n2; i++) {
+        int64_t v = ((int64_t)lev[i] * sc + offset) >> shift;
+        if (v > 32767) v = 32767;
+        if (v < -32768) v = -32768;
+        out[i] = (int32_t)v;
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* RDOQ (xeve_tq.c:497 semantics, context-state bit estimates)         */
 /* ------------------------------------------------------------------ */
 
@@ -623,7 +788,7 @@ static int xt_rdoq(const int32_t *coef, int32_t *dst, int lg, int qp,
 
 /* ADCC-aware RDOQ (xevem_tq.c xeve_rdoq_method_adcc semantics);
    defined after the ADCC context helpers it shares with the writer */
-static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
+static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lgw, int lgh, int qp,
                         double lam_f, int ch_type, int bd,
                         const XtRdoqEst *e, int cu_is_intra, int iqt);
 
@@ -703,7 +868,8 @@ typedef struct {
     const int16_t *oy, *ou, *ov;
     uint16_t *ry, *ru, *rv;         /* recon planes */
     uint8_t *map_cod, *map_if, *map_cbf, *map_skip, *map_tidx;
-    uint8_t *map_lg;                /* per-SCU leaf log2 size (BTT ctx) */
+    uint8_t *map_lg;                /* per-SCU leaf log2 WIDTH (BTT ctx) */
+    uint8_t *map_lgh;               /* per-SCU leaf log2 HEIGHT (BTT ctx) */
     int32_t cur_is_skip;
     int8_t *map_ipm;
     int32_t w_scu, h_scu;
@@ -719,7 +885,8 @@ typedef struct {
                       * distortion the reference RDO uses (xeve_sad.c:281
                       * shifts SSD by (bd-8)<<1; we scale lambda instead) */
     int32_t *leaf_x, *leaf_y;
-    int16_t *leaf_lg;
+    int16_t *leaf_lg;               /* leaf log2 width */
+    int16_t *leaf_lgh;              /* leaf log2 height */
     int32_t n_leaf;
     /* inter state (NULL/0 for the intra-only entry) */
     int slice_type;                 /* 0=B 1=P 2=I */
@@ -834,6 +1001,8 @@ typedef struct {
     XtCtx ctx;
     int qp_prev_eco, dqp_is_coded, eff_qp, cur_is_skip;
     int64_t bin_counter;
+    int32_t prev_est;           /* nesting: trials inside trials */
+    int64_t prev_bits;
 } XtEstSave;
 
 static void xt_est_begin(XtFrame *f, XtEstSave *sv)
@@ -844,11 +1013,14 @@ static void xt_est_begin(XtFrame *f, XtEstSave *sv)
     sv->eff_qp = f->eff_qp;
     sv->cur_is_skip = f->cur_is_skip;
     sv->bin_counter = f->sbac->bin_counter;
+    sv->prev_est = f->sbac->est;
+    sv->prev_bits = f->sbac->est_bits;
     f->sbac->est = 1;
     f->sbac->est_bits = 0;
 }
 
-/* end one trial: restore the state, return its exact bits (2^-15) */
+/* end one trial: restore the state (including any ENCLOSING trial's
+ * accumulation — trials nest), return this trial's exact bits (2^-15) */
 static int64_t xt_est_end(XtFrame *f, const XtEstSave *sv)
 {
     int64_t b = f->sbac->est_bits;
@@ -858,8 +1030,8 @@ static int64_t xt_est_end(XtFrame *f, const XtEstSave *sv)
     f->eff_qp = sv->eff_qp;
     f->cur_is_skip = sv->cur_is_skip;
     f->sbac->bin_counter = sv->bin_counter;
-    f->sbac->est = 0;
-    f->sbac->est_bits = 0;
+    f->sbac->est = sv->prev_est;
+    f->sbac->est_bits = sv->prev_bits;
     return b;
 }
 
@@ -1129,6 +1301,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
         f->leaf_x[f->n_leaf] = x;
         f->leaf_y[f->n_leaf] = y;
         f->leaf_lg[f->n_leaf] = (int16_t)lg;
+        f->leaf_lgh[f->n_leaf] = (int16_t)lg;
         f->n_leaf++;
     }
 }
@@ -1139,8 +1312,8 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code);
 static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd);
 static void xt_nbr_main(const uint16_t *plane, int stride,
                         const uint8_t *map_cod, int w_scu, int h_scu,
-                        int x, int y, int n, int x_scu, int y_scu, int unit,
-                        int bd, int32_t *up, int32_t *left);
+                        int x, int y, int nw, int nh, int x_scu, int y_scu,
+                        int unit, int bd, int32_t *up, int32_t *left);
 static void xt_ipred_main(int ipm, const int32_t *up, const int32_t *left,
                           int32_t *pred, int n, int bd);
 static void xt_mpm_main(const XtFrame *f, int x_scu, int y_scu,
@@ -1264,11 +1437,11 @@ static int xt_btt_split_ctx(XtFrame *f, int x, int y, int lgw, int lgh)
         smaller++;
     if (x_scu > 0 && f->map_cod[scup - 1] &&
         (!tid || tid[scup] == tid[scup - 1]) &&
-        (1 << f->map_lg[scup - 1]) < cuh)
+        (1 << f->map_lgh[scup - 1]) < cuh)
         smaller++;
     if (x_scu + scuw < f->w_scu && f->map_cod[scup + scuw] &&
         (!tid || tid[scup] == tid[scup + scuw]) &&
-        (1 << f->map_lg[scup + scuw]) < cuh)
+        (1 << f->map_lgh[scup + scuw]) < cuh)
         smaller++;
     if (smaller > 2) smaller = 2;
     return smaller + 3 * XT_SPLIT_FLAG_CTX[lgw - 2][lgh - 2];
@@ -1321,6 +1494,8 @@ static void xt_btt_write_split(XtFrame *f, int x, int y, int lgw, int lgh,
     }
 }
 
+static void xt_btt_bottom_node(XtFrame *f, int x, int y, int lg);
+
 static void xt_code_tree_btt(XtFrame *f, int x, int y, int lgw, int lgh)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -1342,6 +1517,27 @@ static void xt_code_tree_btt(XtFrame *f, int x, int y, int lgw, int lgh)
         if (lgw > 2) {
             const uint8_t *sm = f->split_maps[lgw];
             want = sm ? sm[(y >> lgw) * (cfg->w >> lgw) + (x >> lgw)] : 0;
+        }
+        /* BTT stage 2: at a bottom node (all quad children are leaves)
+         * of a Main I-slice, decide quad-vs-rect closed-loop */
+        if (want && lgw >= 3 && cfg->exact_rd && cfg->main_eipd &&
+            (f->slice_type == 2 || !f->ref0)) {
+            int lgc = lgw - 1, all_leaf = 1;
+            if (lgc > 2) {
+                const uint8_t *smc = f->split_maps[lgc];
+                if (smc) {
+                    int nbx = cfg->w >> lgc;
+                    int cx = x >> lgc, cy = y >> lgc;
+                    all_leaf = !(smc[cy * nbx + cx] ||
+                                 smc[cy * nbx + cx + 1] ||
+                                 smc[(cy + 1) * nbx + cx] ||
+                                 smc[(cy + 1) * nbx + cx + 1]);
+                }
+            }
+            if (all_leaf) {
+                xt_btt_bottom_node(f, x, y, lgw);
+                return;
+            }
         }
         split = want ? 1 : 0;               /* quad -> BI_VER first */
         xt_btt_write_split(f, x, y, lgw, lgh, split);
@@ -1367,9 +1563,11 @@ static void xt_code_tree_btt(XtFrame *f, int x, int y, int lgw, int lgh)
         if (f->map_lg) {
             int ws = cuw >> 2;
             for (int i = 0; i < ws; i++)
-                for (int j = 0; j < ws; j++)
-                    f->map_lg[((y >> 2) + i) * f->w_scu + (x >> 2) + j] =
-                        (uint8_t)lg;
+                for (int j = 0; j < ws; j++) {
+                    int idx = ((y >> 2) + i) * f->w_scu + (x >> 2) + j;
+                    f->map_lg[idx] = (uint8_t)lg;
+                    f->map_lgh[idx] = (uint8_t)lg;
+                }
         }
     }
 }
@@ -1852,7 +2050,7 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
     xt_fwd_dct2(resi, coef, lg, bd);
     if (cfg->use_rdoq && adcc)
-        *nnz_y = xt_rdoq_adcc(coef, lev_y, lg, f->qp_y, f->lam, 0, bd,
+        *nnz_y = xt_rdoq_adcc(coef, lev_y, lg, lg, f->qp_y, f->lam, 0, bd,
                               &f->est, cu_is_intra, iqt);
     else if (cfg->use_rdoq)
         *nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, slice_is_i, iqt);
@@ -1891,7 +2089,7 @@ static double xt_tq_channels(XtFrame *f, int x, int y, int lg,
                                    - preds[ch][i * nc + j];
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq && adcc)
-            *nnzs[ch] = xt_rdoq_adcc(coef, levs[ch], lg - 1, qpc[ch],
+            *nnzs[ch] = xt_rdoq_adcc(coef, levs[ch], lg - 1, lg - 1, qpc[ch],
                                      lamc[ch], ch + 1, bd, &f->est,
                                      cu_is_intra, iqt);
         else if (cfg->use_rdoq)
@@ -2021,6 +2219,7 @@ static void xt_store_cu_pb_r(XtFrame *f, int x, int y, int lg,
     f->leaf_x[f->n_leaf] = x;
     f->leaf_y[f->n_leaf] = y;
     f->leaf_lg[f->n_leaf] = (int16_t)lg;
+    f->leaf_lgh[f->n_leaf] = (int16_t)lg;
     f->n_leaf++;
 }
 
@@ -2077,13 +2276,15 @@ static inline int32_t xt_htdf_soft(int32_t z, const int16_t *tbl, int thrl2)
     return z < 0 ? -mag : mag;
 }
 
-static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
+static void xt_htdf_cu(XtFrame *f, int x, int y, int nw, int nh,
+                       int intra)
 {
     const XtFrameCfg *cfg = f->cfg;
     int qp = cfg->qp;
-    if (qp <= 17 || n * n < 64 || n >= 128) return;
-    if (!intra) { if (n >= 32) return; }
-    else if (n >= 32) qp -= 8;
+    int mn = nw < nh ? nw : nh, mxs = nw > nh ? nw : nh;
+    if (qp <= 17 || nw * nh < 64 || mxs >= 128) return;
+    if (!intra) { if (mn >= 32) return; }
+    else if (nw == nh && mn >= 32) qp -= 8;
     int idx = (qp - 20 + 4) >> 3;
     if (idx < 0) idx = 0;
     if (idx > 4) idx = 4;
@@ -2091,7 +2292,7 @@ static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
     int thrl2 = XT_HTDF_THRL2[idx];
 
     int W = cfg->w;
-    int x_scu = x >> 2, y_scu = y >> 2, scuw = n >> 2, scuh = n >> 2;
+    int x_scu = x >> 2, y_scu = y >> 2, scuw = nw >> 2, scuh = nh >> 2;
     const uint8_t *cod = f->map_cod;
     int w_scu = f->w_scu, h_scu = f->h_scu;
     int le = x_scu > 0 && cod[y_scu * w_scu + x_scu - 1];
@@ -2114,30 +2315,30 @@ static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
         cod[(y_scu + scuw + scuh - 1) * w_scu + x_scu + scuw];
 
     int32_t ext[66 * 66], acc[66 * 66];
-    int ew = n + 2;
-    for (int i = 0; i < n; i++)
-        for (int j = 0; j < n; j++)
+    int ew = nw + 2, eh = nh + 2;
+    for (int i = 0; i < nh; i++)
+        for (int j = 0; j < nw; j++)
             ext[(i + 1) * ew + j + 1] = f->ry[(y + i) * W + x + j];
-    for (int i = 0; i < n; i++) {
+    for (int i = 0; i < nh; i++) {
         ext[(i + 1) * ew] = le ? f->ry[(y + i) * W + x - 1]
                                : ext[(i + 1) * ew + 1];
-        ext[(i + 1) * ew + n + 1] = ri ? f->ry[(y + i) * W + x + n]
-                                       : ext[(i + 1) * ew + n];
+        ext[(i + 1) * ew + nw + 1] = ri ? f->ry[(y + i) * W + x + nw]
+                                        : ext[(i + 1) * ew + nw];
     }
-    for (int j = 0; j < n; j++) {
+    for (int j = 0; j < nw; j++) {
         ext[j + 1] = up ? f->ry[(y - 1) * W + x + j] : ext[ew + j + 1];
-        ext[(n + 1) * ew + j + 1] = ext[n * ew + j + 1];  /* bottom repl. */
+        ext[(nh + 1) * ew + j + 1] = ext[nh * ew + j + 1]; /* bottom repl. */
     }
     ext[0] = up_le ? f->ry[(y - 1) * W + x - 1] : ext[ew + 1];
-    ext[n + 1] = up_ri ? f->ry[(y - 1) * W + x + n] : ext[ew + n];
-    ext[(n + 1) * ew] = lo_le ? f->ry[(y + n) * W + x - 1]
-                              : ext[n * ew + 1];
-    ext[(n + 1) * ew + n + 1] = lo_ri ? f->ry[(y + n) * W + x + n]
-                                      : ext[n * ew + n];
+    ext[nw + 1] = up_ri ? f->ry[(y - 1) * W + x + nw] : ext[ew + nw];
+    ext[(nh + 1) * ew] = lo_le ? f->ry[(y + nh) * W + x - 1]
+                               : ext[nh * ew + 1];
+    ext[(nh + 1) * ew + nw + 1] = lo_ri ? f->ry[(y + nh) * W + x + nw]
+                                        : ext[nh * ew + nw];
 
-    memset(acc, 0, sizeof(int32_t) * ew * ew);
-    for (int i = 0; i < n + 1; i++)
-        for (int j = 0; j < n + 1; j++) {
+    memset(acc, 0, sizeof(int32_t) * ew * eh);
+    for (int i = 0; i < nh + 1; i++)
+        for (int j = 0; j < nw + 1; j++) {
             int32_t x0 = ext[i * ew + j], x1 = ext[i * ew + j + 1];
             int32_t x2 = ext[(i + 1) * ew + j], x3 = ext[(i + 1) * ew + j + 1];
             int32_t y0 = x0 + x2, y1 = x1 + x3;
@@ -2154,8 +2355,8 @@ static void xt_htdf_cu(XtFrame *f, int x, int y, int n, int intra)
             acc[(i + 1) * ew + j + 1] += (iy2 - iy3) >> 2;
         }
     int mx = (1 << cfg->bd) - 1;
-    for (int i = 0; i < n; i++)
-        for (int j = 0; j < n; j++) {
+    for (int i = 0; i < nh; i++)
+        for (int j = 0; j < nw; j++) {
             int32_t v = (acc[(i + 1) * ew + j + 1] + 2) >> 2;
             if (v < 0) v = 0;
             if (v > mx) v = mx;
@@ -2589,13 +2790,13 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     int32_t up[130], left[130], ul;
     if (cfg->main_eipd) {
         xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
-                    x, y, s, x_scu, y_scu, 4, bd, up, left);
+                    x, y, s, s, x_scu, y_scu, 4, bd, up, left);
         xt_ipred_main(ipm, up, left, wk->ip_py, s, bd);
         xt_nbr_main(f->ru, Wc, f->map_cod, f->w_scu, f->h_scu,
-                    xc, yc, sc, x_scu, y_scu, 2, bd, up, left);
+                    xc, yc, sc, sc, x_scu, y_scu, 2, bd, up, left);
         xt_ipred_main(ipm, up, left, wk->ip_pu, sc, bd);
         xt_nbr_main(f->rv, Wc, f->map_cod, f->w_scu, f->h_scu,
-                    xc, yc, sc, x_scu, y_scu, 2, bd, up, left);
+                    xc, yc, sc, sc, x_scu, y_scu, 2, bd, up, left);
         xt_ipred_main(ipm, up, left, wk->ip_pv, sc, bd);
     } else {
         xt_gather_nb(f->ry, W, W, cfg->h, f->map_cod, f->w_scu, f->h_scu,
@@ -2685,7 +2886,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         xt_store_cu_pb(f, x, y, lg, wk->it_ry, wk->it_ru, wk->it_rv,
                        it_y, 1, ipm, NULL, NULL);
         /* HTDF on intra CUs in P/B slices (decoder parity: intra-only) */
-        if (cfg->tool_htdf) xt_htdf_cu(f, x, y, s, 1);
+        if (cfg->tool_htdf) xt_htdf_cu(f, x, y, s, s, 1);
     }
 }
 
@@ -3011,14 +3212,16 @@ static void xt_addb_deblock(XtFrame *f)
     for (int pass = 0; pass < 2; pass++)
         for (int li = 0; li < f->n_leaf; li++) {
             int x = f->leaf_x[li], y = f->leaf_y[li];
-            int n = 1 << f->leaf_lg[li];
+            int nw = 1 << f->leaf_lg[li], nh = 1 << f->leaf_lgh[li];
+            int n = nw;   /* horizontal-edge segment count */
+            (void)n;
             if (pass == 0) {
                 if (x == 0 || (x % 8) != 0) continue;
                 if (f->map_tidx &&
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2) - 1])
                     continue;
-                for (int i = 0; i < (n >> 2); i++)
+                for (int i = 0; i < (nh >> 2); i++)
                     xt_addb_segment(f, x, y + 4 * i, 0);
             } else {
                 if (y == 0 || (y % 8) != 0) continue;
@@ -3026,7 +3229,7 @@ static void xt_addb_deblock(XtFrame *f)
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
                     f->map_tidx[((y >> 2) - 1) * f->w_scu + (x >> 2)])
                     continue;
-                for (int i = 0; i < (n >> 2); i++)
+                for (int i = 0; i < (nw >> 2); i++)
                     xt_addb_segment(f, x + 4 * i, y, 1);
             }
         }
@@ -3045,14 +3248,14 @@ static void xt_deblock(XtFrame *f)
     for (int pass = 0; pass < 2; pass++) {
         for (int li = 0; li < f->n_leaf; li++) {
             int x = f->leaf_x[li], y = f->leaf_y[li];
-            int n = 1 << f->leaf_lg[li];
+            int nw = 1 << f->leaf_lg[li], nh = 1 << f->leaf_lgh[li];
             if (pass == 0) { /* vertical edges: left edge of CU */
                 if (x == 0) continue;
                 if (f->map_tidx &&
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2) - 1])
                     continue;   /* loop_filter_across_tiles disabled */
-                for (int i = 0; i < (n >> 2); i++) {
+                for (int i = 0; i < (nh >> 2); i++) {
                     int yy = y + i * 4;
                     int scu = (yy >> 2) * f->w_scu + (x >> 2);
                     int scu_l = scu - 1;
@@ -3091,7 +3294,7 @@ static void xt_deblock(XtFrame *f)
                     f->map_tidx[(y >> 2) * f->w_scu + (x >> 2)] !=
                     f->map_tidx[((y >> 2) - 1) * f->w_scu + (x >> 2)])
                     continue;
-                for (int i = 0; i < (n >> 2); i++) {
+                for (int i = 0; i < (nw >> 2); i++) {
                     int xx = x + i * 4;
                     int scu = (y >> 2) * f->w_scu + (xx >> 2);
                     int scu_u = scu - f->w_scu;
@@ -3178,11 +3381,11 @@ static void xt_inv_dct2_iqt(const int32_t *coef, int32_t *resi, int lg, int bd)
  * index -1, arrays 2n+1 long) */
 static void xt_nbr_main(const uint16_t *plane, int stride,
                         const uint8_t *map_cod, int w_scu, int h_scu,
-                        int x, int y, int n, int x_scu, int y_scu, int unit,
-                        int bd, int32_t *up, int32_t *left)
+                        int x, int y, int nw, int nh, int x_scu, int y_scu,
+                        int unit, int bd, int32_t *up, int32_t *left)
 {
     int mid = 1 << (bd - 1);
-    int n_units = (2 * n) / unit;
+    int n_units = (nw + nh) / unit;
     int corner_ok = (x_scu > 0 && y_scu > 0 &&
                      map_cod[(y_scu - 1) * w_scu + x_scu - 1]);
     up[0] = corner_ok ? plane[(y - 1) * stride + x - 1] : mid;
@@ -3358,6 +3561,160 @@ static void xt_ipred_main(int ipm, const int32_t *up, const int32_t *left,
     #undef L
 }
 
+/* Rectangular 33-mode EIPD prediction — exact integer port of
+ * ops/intra_main_np.py _pred_dc/_pred_plane/_pred_bi/_pred_ang for the
+ * left-available (no-SUCO) layout; conformance-proven on the decode side
+ * against reference BTT streams (xevem_ipred.c rect paths). */
+static const int32_t XT_BI_WC[6] = {-1, 341, 205, 114, 60, 31};
+
+static void xt_ipred_main_wh(int ipm, const int32_t *up, const int32_t *left,
+                             int32_t *pred, int nw, int nh, int bd)
+{
+    if (nw == nh) { xt_ipred_main(ipm, up, left, pred, nw, bd); return; }
+    int lgw = 0; while ((1 << lgw) < nw) lgw++;
+    int lgh = 0; while ((1 << lgh) < nh) lgh++;
+    int maxv = (1 << bd) - 1;
+    #define U(i) up[(i) + 1]
+    #define L(i) left[(i) + 1]
+    if (ipm == 12) {                     /* IPD_VER */
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) pred[i * nw + j] = U(j);
+        return;
+    }
+    if (ipm == 24) {                     /* IPD_HOR */
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) pred[i * nw + j] = L(i);
+        return;
+    }
+    if (ipm == 0) {                      /* DC, aspect-ratio LUT divide */
+        int basic = lgw < lgh ? lgw : lgh;
+        int asp = lgw > lgh ? lgw - lgh : lgh - lgw;
+        int64_t sm = 0;
+        for (int i = 0; i < nh; i++) sm += L(i);
+        for (int j = 0; j < nw; j++) sm += U(j);
+        sm += (nw + nh) >> 1;
+        int32_t dc = (int32_t)((sm * XT_LUT_SIZE_P1[asp]) >> (basic + 12));
+        for (int i = 0; i < nw * nh; i++) pred[i] = dc;
+        return;
+    }
+    if (ipm == 1) {                      /* plane */
+        int w2 = nw >> 1, h2 = nh >> 1;
+        int iw = lgw - 2 < 0 ? 0 : lgw - 2;
+        int ih = lgh - 2 < 0 ? 0 : lgh - 2;
+        int64_t im_h = XT_IB_MULT[iw], is_h = XT_IB_SHIFT[iw];
+        int64_t im_v = XT_IB_MULT[ih], is_v = XT_IB_SHIFT[ih];
+        int64_t coef_h = 0, coef_v = 0;
+        for (int k = 1; k <= w2; k++)
+            coef_h += (int64_t)k * (U(w2 - 1 + k) - U(w2 - 1 - k));
+        for (int k = 1; k <= h2; k++)
+            coef_v += (int64_t)k * (L(h2 - 1 + k) - L(h2 - 1 - k));
+        int64_t a = ((int64_t)L(nh - 1) + U(nw - 1)) << 4;
+        int64_t b = ((coef_h << 5) * im_h + (1ll << (is_h - 1))) >> is_h;
+        int64_t c = ((coef_v << 5) * im_v + (1ll << (is_v - 1))) >> is_v;
+        int64_t base = a - (h2 - 1) * c - (w2 - 1) * b + 16;
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) {
+                int64_t v = (base + i * c + j * b) >> 5;
+                if (v < 0) v = 0; if (v > maxv) v = maxv;
+                pred[i * nw + j] = (int32_t)v;
+            }
+        return;
+    }
+    if (ipm == 2) {                      /* bi-linear, general aspect */
+        int ish_x = lgw, ish_y = lgh;
+        int ish = ish_x < ish_y ? ish_x : ish_y;
+        int ish_xy = ish_x + ish_y + 1;
+        int64_t offset = 1ll << (ish_x + ish_y);
+        int asp = ish_x > ish_y ? ish_x - ish_y : ish_y - ish_x;
+        int64_t a = U(nw), b = L(nh), c;
+        if (nw == nh) c = (a + b + 1) >> 1;
+        else c = (((a << ish_x) + (b << ish_y)) * XT_BI_WC[asp]
+                  + (1ll << (ish + 9))) >> (ish + 10);
+        int64_t wt = (c << 1) - a - b;
+        for (int i = 0; i < nh; i++) {
+            int64_t le = L(i);
+            int64_t predx_base = le << ish_x;
+            int64_t le_d = a - le;
+            int64_t wy = (int64_t)i * wt;
+            for (int j = 0; j < nw; j++) {
+                int64_t ru = U(j);
+                int64_t refu = (ru << ish_y) + (b - ru) * (i + 1);
+                int64_t predx = predx_base + le_d * (j + 1);
+                int64_t v = ((predx << ish_y) + (refu << ish_x) + wy * j
+                             + offset) >> ish_xy;
+                if (v < 0) v = 0; if (v > maxv) v = maxv;
+                pred[i * nw + j] = (int32_t)v;
+            }
+        }
+        return;
+    }
+    /* angular (4-tap ADI), pos_max = w + h - 1 */
+    {
+        int32_t mt_x = XT_DXDY[ipm * 2], mt_y = XT_DXDY[ipm * 2 + 1];
+        int pos_max = nw + nh - 1;
+        #define CLIPP(p) ((p) < -1 ? -1 : ((p) > pos_max ? pos_max : (p)))
+        if (ipm < 12) {
+            for (int j = 0; j < nh; j++) {
+                int t_dx = ((j + 1) * mt_x) >> 10;
+                int off = (((j + 1) * mt_x) >> 5) - (t_dx << 5);
+                const int16_t *fl = &XT_ADI[off * 4];
+                for (int i = 0; i < nw; i++) {
+                    int xx = i + t_dx;
+                    int64_t v = ((int64_t)U(CLIPP(xx - 1)) * fl[0]
+                               + (int64_t)U(CLIPP(xx)) * fl[1]
+                               + (int64_t)U(CLIPP(xx + 1)) * fl[2]
+                               + (int64_t)U(CLIPP(xx + 2)) * fl[3] + 64) >> 7;
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * nw + i] = (int32_t)v;
+                }
+            }
+        } else if (ipm > 24) {
+            for (int j = 0; j < nh; j++)
+                for (int i = 0; i < nw; i++) {
+                    int t_dy = ((i + 1) * mt_y) >> 10;
+                    int off = (((i + 1) * mt_y) >> 5) - (t_dy << 5);
+                    const int16_t *fl = &XT_ADI[off * 4];
+                    int yy = j + t_dy;
+                    int64_t v = ((int64_t)L(CLIPP(yy - 1)) * fl[0]
+                               + (int64_t)L(CLIPP(yy)) * fl[1]
+                               + (int64_t)L(CLIPP(yy + 1)) * fl[2]
+                               + (int64_t)L(CLIPP(yy + 2)) * fl[3] + 64) >> 7;
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * nw + i] = (int32_t)v;
+                }
+        } else {
+            for (int j = 0; j < nh; j++)
+                for (int i = 0; i < nw; i++) {
+                    int t_dy = ((i + 1) * mt_y) >> 10;
+                    int64_t v;
+                    if (j < t_dy) {
+                        int t_dx = ((j + 1) * mt_x) >> 10;
+                        int off = (((j + 1) * mt_x) >> 5) - (t_dx << 5);
+                        const int16_t *fu = &XT_ADI[off * 4];
+                        int xx = i - t_dx;
+                        v = ((int64_t)U(CLIPP(xx + 1)) * fu[0]
+                           + (int64_t)U(CLIPP(xx)) * fu[1]
+                           + (int64_t)U(CLIPP(xx - 1)) * fu[2]
+                           + (int64_t)U(CLIPP(xx - 2)) * fu[3] + 64) >> 7;
+                    } else {
+                        int off = (((i + 1) * mt_y) >> 5) - (t_dy << 5);
+                        const int16_t *fv = &XT_ADI[off * 4];
+                        int yy = j - t_dy;
+                        v = ((int64_t)L(CLIPP(yy + 1)) * fv[0]
+                           + (int64_t)L(CLIPP(yy)) * fv[1]
+                           + (int64_t)L(CLIPP(yy - 1)) * fv[2]
+                           + (int64_t)L(CLIPP(yy - 2)) * fv[3] + 64) >> 7;
+                    }
+                    if (v < 0) v = 0; if (v > maxv) v = maxv;
+                    pred[j * nw + i] = (int32_t)v;
+                }
+        }
+        #undef CLIPP
+    }
+    #undef U
+    #undef L
+}
+
 /* Hadamard SATD (xeve_sad.c:xeve_had semantics, 8x8/4x4 tiling with the
  * reference's normalization) for the intra mode pre-ranking. */
 static int64_t xt_had8x8(const int32_t *o, int os, const int32_t *p, int ps)
@@ -3446,23 +3803,23 @@ static int64_t xt_had4x4(const int32_t *o, int os, const int32_t *p, int ps)
 }
 
 /* SATD of an n x n prediction vs the original at (x, y) */
-static int64_t xt_satd(const XtFrame *f, int x, int y, int n,
+static int64_t xt_satd(const XtFrame *f, int x, int y, int nw, int nh,
                        const int32_t *pred)
 {
     int W = f->cfg->w;
     static __thread int32_t ob[64 * 64];
-    for (int i = 0; i < n; i++)
-        for (int j = 0; j < n; j++)
-            ob[i * n + j] = f->oy[(y + i) * W + x + j];
+    for (int i = 0; i < nh; i++)
+        for (int j = 0; j < nw; j++)
+            ob[i * nw + j] = f->oy[(y + i) * W + x + j];
     int64_t s = 0;
-    if (n >= 8) {
-        for (int i = 0; i < n; i += 8)
-            for (int j = 0; j < n; j += 8)
-                s += xt_had8x8(ob + i * n + j, n, pred + i * n + j, n);
+    if (nw >= 8 && nh >= 8) {
+        for (int i = 0; i < nh; i += 8)
+            for (int j = 0; j < nw; j += 8)
+                s += xt_had8x8(ob + i * nw + j, nw, pred + i * nw + j, nw);
     } else {
-        for (int i = 0; i < n; i += 4)
-            for (int j = 0; j < n; j += 4)
-                s += xt_had4x4(ob + i * n + j, n, pred + i * n + j, n);
+        for (int i = 0; i < nh; i += 4)
+            for (int j = 0; j < nw; j += 4)
+                s += xt_had4x4(ob + i * nw + j, nw, pred + i * nw + j, nw);
     }
     return s;
 }
@@ -3803,19 +4160,23 @@ static int64_t xt_rate_last_xy(const XtRdoqEst *e, int pos_x, int pos_y,
     return XT_I_COST(rate);
 }
 
-static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
+static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lgw, int lgh, int qp,
                         double lam_f, int ch_type, int bd,
                         const XtRdoqEst *e, int cu_is_intra, int iqt)
 {
-    int n = 1 << lg, w = n, h = n;
-    int num = n * n;
+    int w = 1 << lgw, h = 1 << lgh;
+    int num = w * h;
+    int log2_size = (lgw + lgh) >> 1;
+    int odd = (lgw + lgh) & 1;
     int qp_rem = qp % 6;
     int q_value = iqt ? XT_QUANT_SCALE_IQT[qp_rem] : XT_QUANT_SCALE[qp_rem];
-    int tr_shift = 15 - bd - lg;
+    if (odd)   /* ns-scaled quant step for odd log2 area (rdoq_block) */
+        q_value = (q_value * 181 + 64) >> 7;
+    int tr_shift = 15 - bd - log2_size;
     int q_bits = 14 + tr_shift + qp / 6;
     int64_t lam = (int64_t)(lam_f * (double)(1 << 15) + 0.5);
-    int64_t es = xt_err_scale(qp_rem, lg, bd, iqt);
-    const uint16_t *scan = XT_SCAN[lg];
+    int64_t es = xt_err_scale(qp_rem, log2_size, bd, iqt);
+    const uint16_t *scan = xt_scan_wh(lgw, lgh);
 
     static __thread int64_t ldbl[64 * 64];
     static __thread int32_t cdst[64 * 64];
@@ -3841,10 +4202,11 @@ static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
     }
     if (sum_all == 0) { memset(dst, 0, sizeof(int32_t) * num); return 0; }
 
+    int lgmin = lgw < lgh ? lgw : lgh;
     int offset1 = (ch_type == 0) ? 0 : 13;
     int offset0 = (ch_type == 0)
-                  ? ((lg <= 2) ? 0
-                     : 13 << ((lg - 3) < 1 ? (lg - 3) : 1))
+                  ? ((lgmin <= 2) ? 0
+                     : 13 << ((lgmin - 3) < 1 ? (lgmin - 3) : 1))
                   : 39;
 
     int is_last_nz = 0;
@@ -3927,8 +4289,8 @@ static int xt_rdoq_adcc(const int32_t *coef, int32_t *dst, int lg, int qp,
     for (int sp = last_sp; sp >= 0; sp--) {
         int bp = scan[sp];
         if (cdst[bp] > 0) {
-            int pos_y = bp >> lg;
-            int pos_x = bp - (pos_y << lg);
+            int pos_y = bp >> lgw;
+            int pos_x = bp - (pos_y << lgw);
             int64_t cost_last = xt_rate_last_xy(e, pos_x, pos_y, w, h,
                                                 ch_type, lam);
             int64_t total = cost_base + cost_last - pd_sig[bp];
@@ -4080,7 +4442,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
 
     /* --- luma --- */
     xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
-                x, y, n, x_scu, y_scu, 4, bd, up, left);
+                x, y, n, n, x_scu, y_scu, 4, bd, up, left);
 
     /* --- closed-loop EIPD re-decision with exact SBAC rate over a small
      * candidate set around the device's 33-mode argmax (xevem_pintra.c
@@ -4102,7 +4464,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
             XtEstSave sv1;
             for (int m = 0; m < 33; m++) {
                 xt_ipred_main(m, up, left, pred_y, n, bd);
-                int64_t satd = xt_satd(f, x, y, n, pred_y);
+                int64_t satd = xt_satd(f, x, y, n, n, pred_y);
                 xt_est_begin(f, &sv1);
                 xt_write_intra_dir_main(f->sbac, f->ctx, m, mpm, ext, pims);
                 int64_t mbits = xt_est_end(f, &sv1);
@@ -4142,7 +4504,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
             xt_fwd_dct2(resi, coef, lg, bd);
             int nnz;
             if (cfg->use_rdoq)
-                nnz = xt_rdoq_adcc(coef, lev_t, lg, f->qp_y, f->lam, 0, bd,
+                nnz = xt_rdoq_adcc(coef, lev_t, lg, lg, f->qp_y, f->lam, 0, bd,
                                    &f->est, 1, iqt);
             else
                 nnz = xt_quant(coef, lev_t, lg, f->qp_y, 1, bd, iqt);
@@ -4201,7 +4563,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
             if (cand == 0) xt_fwd_dct2(resi, coef, lg, bd);
             else           xt_fwd_ats(resi, coef, lg, bd, 0);
             if (cfg->use_rdoq)
-                nnz = xt_rdoq_adcc(coef, lev_c, lg, f->qp_y, f->lam, 0, bd,
+                nnz = xt_rdoq_adcc(coef, lev_c, lg, lg, f->qp_y, f->lam, 0, bd,
                                    &f->est, 1, iqt);
             else
                 nnz = xt_quant(coef, lev_c, lg, f->qp_y, 1, bd, iqt);
@@ -4279,7 +4641,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
     int nnzc[2] = { 0, 0 };
     for (int ch = 0; ch < 2; ch++) {
         xt_nbr_main(planes[ch], Wc, f->map_cod, f->w_scu, f->h_scu,
-                    xc, yc, nc, x_scu, y_scu, 2, bd, up, left);
+                    xc, yc, nc, nc, x_scu, y_scu, 2, bd, up, left);
         xt_ipred_main(ipm, up, left, pred_c, nc, bd);
         for (int i = 0; i < nc; i++)
             for (int j = 0; j < nc; j++)
@@ -4287,7 +4649,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
                                    - pred_c[i * nc + j];
         xt_fwd_dct2(resi, coef, lg - 1, bd);
         if (cfg->use_rdoq)
-            nnzc[ch] = xt_rdoq_adcc(coef, levc[ch], lg - 1, qpc[ch],
+            nnzc[ch] = xt_rdoq_adcc(coef, levc[ch], lg - 1, lg - 1, qpc[ch],
                                     lamc[ch], ch + 1, bd, &f->est, 1, iqt);
         else
             nnzc[ch] = xt_quant(coef, levc[ch], lg - 1, qpc[ch], 1, bd, iqt);
@@ -4341,7 +4703,7 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
     }
 
     /* --- HTDF on the luma recon (xevem_pintra.c:106) --- */
-    if (cfg->tool_htdf) xt_htdf_cu(f, x, y, n, 1);
+    if (cfg->tool_htdf) xt_htdf_cu(f, x, y, n, n, 1);
 
     /* --- maps --- */
     {
@@ -4358,8 +4720,405 @@ static void xt_code_cu_main(XtFrame *f, int x, int y, int lg, int dqp_code)
         f->leaf_x[f->n_leaf] = x;
         f->leaf_y[f->n_leaf] = y;
         f->leaf_lg[f->n_leaf] = (int16_t)lg;
+        f->leaf_lgh[f->n_leaf] = (int16_t)lg;
         f->n_leaf++;
     }
+}
+
+/* Rectangular Main-profile intra CU (BTT stage-2 leaves): the rect twin
+ * of xt_code_cu_main — SATD pre-ranking of all 33 EIPD modes + exact-rate
+ * RDO on the top-K, rect transforms/RDOQ/ADCC, HTDF, maps.  ATS is
+ * signalled 0 (DCT-2) for eligible shapes (decoder.py:1040 parse cond).
+ * ipm_hint seeds the candidate list (parent-level device argmax). */
+static void xt_code_cu_main_wh(XtFrame *f, int x, int y, int lgw, int lgh,
+                               int ipm_hint)
+{
+    const XtFrameCfg *cfg = f->cfg;
+    int nw = 1 << lgw, nh = 1 << lgh;
+    int bd = cfg->bd;
+    int W = cfg->w;
+    int iqt = cfg->tool_iqt;
+    int x_scu = x >> 2, y_scu = y >> 2;
+
+    int32_t up[129 + 2], left[129 + 2];
+    static __thread int32_t pred_y[64 * 64], resi[64 * 64], coef[64 * 64],
+        lev_y[64 * 64], pred_c[32 * 32], lev_u[32 * 32], lev_v[32 * 32];
+
+    xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
+                x, y, nw, nh, x_scu, y_scu, 4, bd, up, left);
+
+    int mpm[2], ext[8], pims[33];
+    xt_mpm_main(f, x_scu, y_scu, mpm, ext, pims);
+    int ipm = ipm_hint;
+    {
+        /* SATD pre-rank all 33 modes, then exact-rate RDO on top-4 +
+         * MPMs + hint (same two-stage shape as the square coder) */
+        int cands[10];
+        int n_cand = 0;
+        double srt = sqrt(f->lam_px);
+        double sc_best[4] = { 1e300, 1e300, 1e300, 1e300 };
+        int sc_mode[4] = { -1, -1, -1, -1 };
+        XtEstSave sv1;
+        for (int m = 0; m < 33; m++) {
+            xt_ipred_main_wh(m, up, left, pred_y, nw, nh, bd);
+            int64_t satd = xt_satd(f, x, y, nw, nh, pred_y);
+            xt_est_begin(f, &sv1);
+            xt_write_intra_dir_main(f->sbac, f->ctx, m, mpm, ext, pims);
+            int64_t mbits = xt_est_end(f, &sv1);
+            double c = (double)satd + srt * XT_BITS(mbits);
+            for (int k = 0; k < 4; k++)
+                if (c < sc_best[k]) {
+                    for (int t = 3; t > k; t--) {
+                        sc_best[t] = sc_best[t - 1];
+                        sc_mode[t] = sc_mode[t - 1];
+                    }
+                    sc_best[k] = c;
+                    sc_mode[k] = m;
+                    break;
+                }
+        }
+        for (int k = 0; k < 4; k++)
+            if (sc_mode[k] >= 0) cands[n_cand++] = sc_mode[k];
+        cands[n_cand++] = mpm[0];
+        cands[n_cand++] = mpm[1];
+        cands[n_cand++] = ipm_hint;
+
+        int mx = (1 << bd) - 1;
+        double best_cost = 0;
+        int best_m = ipm_hint, have = 0;
+        uint64_t tried = 0;
+        XtEstSave sv;
+        for (int ci = 0; ci < n_cand; ci++) {
+            int m = cands[ci];
+            if (m < 0 || m > 32 || (tried & (1ull << m))) continue;
+            tried |= 1ull << m;
+            static __thread int32_t lev_t[64 * 64], dq[64 * 64],
+                rr[64 * 64];
+            xt_ipred_main_wh(m, up, left, pred_y, nw, nh, bd);
+            for (int i = 0; i < nh; i++)
+                for (int j = 0; j < nw; j++)
+                    resi[i * nw + j] = (int32_t)f->oy[(y + i) * W + x + j]
+                                       - pred_y[i * nw + j];
+            xt_fwd_dct2_wh(resi, coef, lgw, lgh, bd);
+            int nnz;
+            if (cfg->use_rdoq)
+                nnz = xt_rdoq_adcc(coef, lev_t, lgw, lgh, f->qp_y, f->lam,
+                                   0, bd, &f->est, 1, iqt);
+            else
+                nnz = xt_quant_wh(coef, lev_t, lgw, lgh, f->qp_y, 1, bd,
+                                  iqt);
+            int64_t ssd = 0;
+            if (nnz) {
+                xt_dequant_wh(lev_t, dq, lgw, lgh, f->qp_y, bd, iqt);
+                if (iqt) xt_inv_dct2_iqt_wh(dq, rr, lgw, lgh, bd);
+                else xt_inv_dct2_wh(dq, rr, lgw, lgh, bd);
+            }
+            for (int i = 0; i < nh; i++)
+                for (int j = 0; j < nw; j++) {
+                    int32_t v = pred_y[i * nw + j];
+                    if (nnz) v = (int16_t)(rr[i * nw + j] + v);
+                    if (v < 0) v = 0; if (v > mx) v = mx;
+                    int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - v;
+                    ssd += d * d;
+                }
+            xt_est_begin(f, &sv);
+            xt_write_intra_dir_main(f->sbac, f->ctx, m, mpm, ext, pims);
+            xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz ? 1 : 0);
+            if (nnz) xt_adcc_write(f->sbac, f->ctx, lev_t, lgw, lgh, 0,
+                                   xt_scan_wh(lgw, lgh));
+            int64_t bits = xt_est_end(f, &sv);
+            double cost = (double)ssd + f->lam_px * XT_BITS(bits);
+            if (!have || cost < best_cost) {
+                have = 1;
+                best_cost = cost;
+                best_m = m;
+            }
+        }
+        ipm = best_m;
+    }
+
+    /* --- luma with the winner (DCT-2 only for rect TBs) --- */
+    int nnz_y;
+    {
+        int mx = (1 << bd) - 1;
+        static __thread int32_t dq[64 * 64], rr[64 * 64];
+        xt_ipred_main_wh(ipm, up, left, pred_y, nw, nh, bd);
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++)
+                resi[i * nw + j] = (int32_t)f->oy[(y + i) * W + x + j]
+                                   - pred_y[i * nw + j];
+        xt_fwd_dct2_wh(resi, coef, lgw, lgh, bd);
+        if (cfg->use_rdoq)
+            nnz_y = xt_rdoq_adcc(coef, lev_y, lgw, lgh, f->qp_y, f->lam,
+                                 0, bd, &f->est, 1, iqt);
+        else
+            nnz_y = xt_quant_wh(coef, lev_y, lgw, lgh, f->qp_y, 1, bd, iqt);
+        if (nnz_y) {
+            xt_dequant_wh(lev_y, dq, lgw, lgh, f->qp_y, bd, iqt);
+            if (iqt) xt_inv_dct2_iqt_wh(dq, rr, lgw, lgh, bd);
+            else xt_inv_dct2_wh(dq, rr, lgw, lgh, bd);
+        }
+        for (int i = 0; i < nh; i++)
+            for (int j = 0; j < nw; j++) {
+                int32_t v = pred_y[i * nw + j];
+                if (nnz_y) v = (int16_t)(rr[i * nw + j] + v);
+                if (v < 0) v = 0; if (v > mx) v = mx;
+                f->ry[(y + i) * W + x + j] = (uint16_t)v;
+            }
+    }
+
+    /* --- chroma (DM) --- */
+    int xc = x >> 1, yc = y >> 1, ncw = nw >> 1, nch = nh >> 1;
+    int Wc = W >> 1;
+    uint16_t *planes[2] = { f->ru, f->rv };
+    const int16_t *origs[2] = { f->ou, f->ov };
+    int qpc[2] = { f->qp_u, f->qp_v };
+    double lamc[2] = { f->lam_u, f->lam_v };
+    int32_t *levc[2] = { lev_u, lev_v };
+    int nnzc[2] = { 0, 0 };
+    for (int ch = 0; ch < 2; ch++) {
+        xt_nbr_main(planes[ch], Wc, f->map_cod, f->w_scu, f->h_scu,
+                    xc, yc, ncw, nch, x_scu, y_scu, 2, bd, up, left);
+        xt_ipred_main_wh(ipm, up, left, pred_c, ncw, nch, bd);
+        for (int i = 0; i < nch; i++)
+            for (int j = 0; j < ncw; j++)
+                resi[i * ncw + j] = (int32_t)origs[ch][(yc + i) * Wc + xc + j]
+                                    - pred_c[i * ncw + j];
+        xt_fwd_dct2_wh(resi, coef, lgw - 1, lgh - 1, bd);
+        if (cfg->use_rdoq)
+            nnzc[ch] = xt_rdoq_adcc(coef, levc[ch], lgw - 1, lgh - 1,
+                                    qpc[ch], lamc[ch], ch + 1, bd, &f->est,
+                                    1, iqt);
+        else
+            nnzc[ch] = xt_quant_wh(coef, levc[ch], lgw - 1, lgh - 1,
+                                   qpc[ch], 1, bd, iqt);
+        int mx = (1 << bd) - 1;
+        static __thread int32_t dq[32 * 32], rr[32 * 32];
+        if (nnzc[ch]) {
+            xt_dequant_wh(levc[ch], dq, lgw - 1, lgh - 1, qpc[ch], bd, iqt);
+            if (iqt) xt_inv_dct2_iqt_wh(dq, rr, lgw - 1, lgh - 1, bd);
+            else xt_inv_dct2_wh(dq, rr, lgw - 1, lgh - 1, bd);
+        }
+        for (int i = 0; i < nch; i++)
+            for (int j = 0; j < ncw; j++) {
+                int32_t v = pred_c[i * ncw + j];
+                if (nnzc[ch]) v = (int16_t)(rr[i * ncw + j] + v);
+                if (v < 0) v = 0; if (v > mx) v = mx;
+                planes[ch][(yc + i) * Wc + xc + j] = (uint16_t)v;
+            }
+    }
+    int nnz_u = nnzc[0], nnz_v = nnzc[1];
+
+    /* --- syntax --- */
+    {
+        xt_write_intra_dir_main(f->sbac, f->ctx, ipm, mpm, ext, pims);
+        xt_write_intra_dir_c_main(f->sbac, f->ctx, 0, ipm);   /* DM */
+        xt_encode_bin(f->sbac, f->ctx->cbf_cb, nnz_u ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_cr, nnz_v ? 1 : 0);
+        xt_encode_bin(f->sbac, f->ctx->cbf_luma, nnz_y ? 1 : 0);
+        xt_write_dqp_cond(f, 0, 0, (nnz_y || nnz_u || nnz_v), 0);
+        if (cfg->tool_ats && nnz_y && lgw <= 5 && lgh <= 5)
+            xt_encode_bin_ep(f->sbac, 0);     /* ats_intra_cu = 0 (DCT-2) */
+        if (nnz_y) xt_adcc_write(f->sbac, f->ctx, lev_y, lgw, lgh, 0,
+                                 xt_scan_wh(lgw, lgh));
+        if (nnz_u) xt_adcc_write(f->sbac, f->ctx, lev_u, lgw - 1, lgh - 1,
+                                 1, xt_scan_wh(lgw - 1, lgh - 1));
+        if (nnz_v) xt_adcc_write(f->sbac, f->ctx, lev_v, lgw - 1, lgh - 1,
+                                 1, xt_scan_wh(lgw - 1, lgh - 1));
+    }
+
+    /* --- HTDF --- */
+    if (cfg->tool_htdf) xt_htdf_cu(f, x, y, nw, nh, 1);
+
+    /* --- maps --- */
+    {
+        int ws = nw >> 2, hs = nh >> 2;
+        for (int i = 0; i < hs; i++)
+            for (int j = 0; j < ws; j++) {
+                int idx = (y_scu + i) * f->w_scu + x_scu + j;
+                f->map_cod[idx] = 1;
+                f->map_if[idx] = 1;
+                f->map_ipm[idx] = (int8_t)ipm;
+                f->map_cbf[idx] = nnz_y ? 1 : 0;
+                if (f->map_qp) f->map_qp[idx] = (uint8_t)f->eff_qp;
+                if (f->map_lg) {
+                    f->map_lg[idx] = (uint8_t)lgw;
+                    f->map_lgh[idx] = (uint8_t)lgh;
+                }
+            }
+        f->leaf_x[f->n_leaf] = x;
+        f->leaf_y[f->n_leaf] = y;
+        f->leaf_lg[f->n_leaf] = (int16_t)lgw;
+        f->leaf_lgh[f->n_leaf] = (int16_t)lgh;
+        f->n_leaf++;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* BTT stage 2: closed-loop quad-vs-rect decision at bottom nodes.     */
+/* A square node whose quad children are all leaves is trial-coded      */
+/* three ways — 4 squares / 2 tall rects / 2 wide rects — with the      */
+/* exact-rate est SBAC and true reconstruction, and the cheapest        */
+/* subtree is emitted (xevem_mode.c:2588 split enumeration, restricted  */
+/* to the dominant candidates; 1:2 rects per the SPS ratio limits).     */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    XtEstSave es;
+    int n_leaf;
+    uint16_t ry[64 * 64], ru[32 * 32], rv[32 * 32];
+    uint8_t cod[256], ifm[256], cbf[256], lgm[256], lghm[256], qpm[256];
+    int8_t ipm[256];
+} XtRegSave;
+
+static void xt_reg_save(XtFrame *f, XtRegSave *rs, int x, int y, int n)
+{
+    int W = f->cfg->w, Wc = W >> 1;
+    int xc = x >> 1, yc = y >> 1, nc = n >> 1;
+    for (int i = 0; i < n; i++)
+        memcpy(rs->ry + i * n, f->ry + (y + i) * W + x,
+               sizeof(uint16_t) * n);
+    for (int i = 0; i < nc; i++) {
+        memcpy(rs->ru + i * nc, f->ru + (yc + i) * Wc + xc,
+               sizeof(uint16_t) * nc);
+        memcpy(rs->rv + i * nc, f->rv + (yc + i) * Wc + xc,
+               sizeof(uint16_t) * nc);
+    }
+    int xs = x >> 2, ys = y >> 2, ns = n >> 2;
+    for (int i = 0; i < ns; i++) {
+        int src = (ys + i) * f->w_scu + xs;
+        memcpy(rs->cod + i * ns, f->map_cod + src, ns);
+        memcpy(rs->ifm + i * ns, f->map_if + src, ns);
+        memcpy(rs->cbf + i * ns, f->map_cbf + src, ns);
+        memcpy(rs->ipm + i * ns, f->map_ipm + src, ns);
+        if (f->map_lg) {
+            memcpy(rs->lgm + i * ns, f->map_lg + src, ns);
+            memcpy(rs->lghm + i * ns, f->map_lgh + src, ns);
+        }
+        if (f->map_qp) memcpy(rs->qpm + i * ns, f->map_qp + src, ns);
+    }
+    rs->n_leaf = f->n_leaf;
+    xt_est_begin(f, &rs->es);
+}
+
+static int64_t xt_reg_restore(XtFrame *f, XtRegSave *rs, int x, int y,
+                              int n)
+{
+    int64_t bits = xt_est_end(f, &rs->es);
+    int W = f->cfg->w, Wc = W >> 1;
+    int xc = x >> 1, yc = y >> 1, nc = n >> 1;
+    for (int i = 0; i < n; i++)
+        memcpy(f->ry + (y + i) * W + x, rs->ry + i * n,
+               sizeof(uint16_t) * n);
+    for (int i = 0; i < nc; i++) {
+        memcpy(f->ru + (yc + i) * Wc + xc, rs->ru + i * nc,
+               sizeof(uint16_t) * nc);
+        memcpy(f->rv + (yc + i) * Wc + xc, rs->rv + i * nc,
+               sizeof(uint16_t) * nc);
+    }
+    int xs = x >> 2, ys = y >> 2, ns = n >> 2;
+    for (int i = 0; i < ns; i++) {
+        int dst = (ys + i) * f->w_scu + xs;
+        memcpy(f->map_cod + dst, rs->cod + i * ns, ns);
+        memcpy(f->map_if + dst, rs->ifm + i * ns, ns);
+        memcpy(f->map_cbf + dst, rs->cbf + i * ns, ns);
+        memcpy(f->map_ipm + dst, rs->ipm + i * ns, ns);
+        if (f->map_lg) {
+            memcpy(f->map_lg + dst, rs->lgm + i * ns, ns);
+            memcpy(f->map_lgh + dst, rs->lghm + i * ns, ns);
+        }
+        if (f->map_qp) memcpy(f->map_qp + dst, rs->qpm + i * ns, ns);
+    }
+    f->n_leaf = rs->n_leaf;
+    return bits;
+}
+
+/* weighted SSD of the reconstructed region vs the original */
+static double xt_reg_dist(const XtFrame *f, int x, int y, int n)
+{
+    int W = f->cfg->w, Wc = W >> 1;
+    int xc = x >> 1, yc = y >> 1, nc = n >> 1;
+    int64_t dl = 0, du = 0, dv = 0;
+    for (int i = 0; i < n; i++)
+        for (int j = 0; j < n; j++) {
+            int64_t d = (int64_t)f->oy[(y + i) * W + x + j]
+                        - f->ry[(y + i) * W + x + j];
+            dl += d * d;
+        }
+    for (int i = 0; i < nc; i++)
+        for (int j = 0; j < nc; j++) {
+            int64_t d = (int64_t)f->ou[(yc + i) * Wc + xc + j]
+                        - f->ru[(yc + i) * Wc + xc + j];
+            du += d * d;
+            d = (int64_t)f->ov[(yc + i) * Wc + xc + j]
+                - f->rv[(yc + i) * Wc + xc + j];
+            dv += d * d;
+        }
+    return (double)dl + f->w_u * (double)du + f->w_v * (double)dv;
+}
+
+/* square leaf inside a bottom node: split flag 0 (when signalled) + CU */
+static void xt_btt_square_leaf(XtFrame *f, int x, int y, int lg)
+{
+    xt_btt_write_split(f, x, y, lg, lg, 0);
+    xt_code_cu_main(f, x, y, lg, 0);
+    if (f->map_lg) {
+        int ws = 1 << (lg - 2);
+        for (int i = 0; i < ws; i++)
+            for (int j = 0; j < ws; j++) {
+                int idx = ((y >> 2) + i) * f->w_scu + (x >> 2) + j;
+                f->map_lg[idx] = (uint8_t)lg;
+                f->map_lgh[idx] = (uint8_t)lg;
+            }
+    }
+}
+
+static void xt_btt_emit_cand(XtFrame *f, int x, int y, int lg, int cand)
+{
+    int half = 1 << (lg - 1);
+    int nbx = f->cfg->w >> lg;
+    int hint = f->mode_maps[lg][(y >> lg) * nbx + (x >> lg)];
+    if (cand == 0) {            /* quad via BI_VER -> 2x BI_HOR */
+        xt_btt_write_split(f, x, y, lg, lg, 1);
+        for (int p = 0; p < 2; p++) {
+            int xx = x + p * half;
+            xt_btt_write_split(f, xx, y, lg - 1, lg, 2);
+            xt_btt_square_leaf(f, xx, y, lg - 1);
+            xt_btt_square_leaf(f, xx, y + half, lg - 1);
+        }
+    } else if (cand == 1) {     /* two tall rect leaves (BI_VER) */
+        xt_btt_write_split(f, x, y, lg, lg, 1);
+        for (int p = 0; p < 2; p++) {
+            int xx = x + p * half;
+            xt_btt_write_split(f, xx, y, lg - 1, lg, 0);
+            xt_code_cu_main_wh(f, xx, y, lg - 1, lg, hint);
+        }
+    } else {                    /* two wide rect leaves (BI_HOR) */
+        xt_btt_write_split(f, x, y, lg, lg, 2);
+        for (int p = 0; p < 2; p++) {
+            int yy = y + p * half;
+            xt_btt_write_split(f, x, yy, lg, lg - 1, 0);
+            xt_code_cu_main_wh(f, x, yy, lg, lg - 1, hint);
+        }
+    }
+}
+
+static void xt_btt_bottom_node(XtFrame *f, int x, int y, int lg)
+{
+    static __thread XtRegSave rs;
+    int n = 1 << lg;
+    double best = 1e300;
+    int bestc = 0;
+    for (int c = 0; c < 3; c++) {
+        xt_reg_save(f, &rs, x, y, n);
+        xt_btt_emit_cand(f, x, y, lg, c);
+        int64_t bits = f->sbac->est_bits;
+        double dist = xt_reg_dist(f, x, y, n);
+        xt_reg_restore(f, &rs, x, y, n);
+        double cost = dist + f->lam_px * XT_BITS(bits);
+        if (cost < best) { best = cost; bestc = c; }
+    }
+    xt_btt_emit_cand(f, x, y, lg, bestc);
 }
 
 typedef struct {
@@ -4464,9 +5223,11 @@ static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
                 job->buf = malloc(per_cap);
                 job->f.map_cod = calloc(n_scu, 1);
                 job->f.map_lg = calloc(n_scu, 1);
+                job->f.map_lgh = calloc(n_scu, 1);
                 job->f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
                 job->f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
                 job->f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+                job->f.leaf_lgh = malloc(sizeof(int16_t) * max_leaf);
                 job->f.n_leaf = 0;
                 if (f->scratch)
                     job->f.scratch = malloc(sizeof(XtCuWork));
@@ -4504,6 +5265,7 @@ static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
                 f->leaf_x[f->n_leaf] = job->f.leaf_x[k];
                 f->leaf_y[f->n_leaf] = job->f.leaf_y[k];
                 f->leaf_lg[f->n_leaf] = job->f.leaf_lg[k];
+                f->leaf_lgh[f->n_leaf] = job->f.leaf_lgh[k];
                 f->n_leaf++;
             }
         }
@@ -4513,8 +5275,9 @@ static int xt_code_tiles(XtFrame *f, uint8_t *out_bs, int64_t out_cap,
         if (multi) {
             free(job->buf);
             free(job->f.map_cod);
-            free(job->f.map_lg);
+            free(job->f.map_lg); free(job->f.map_lgh);
             free(job->f.leaf_x); free(job->f.leaf_y); free(job->f.leaf_lg);
+            free(job->f.leaf_lgh);
             if (f->scratch) free(job->f.scratch);
         }
     }
@@ -4551,6 +5314,7 @@ XT_API int xt_encode_intra_frame(
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
     f.map_lg = calloc(n_scu, 1);
+    f.map_lgh = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -4558,6 +5322,7 @@ XT_API int xt_encode_intra_frame(
     f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+    f.leaf_lgh = malloc(sizeof(int16_t) * max_leaf);
     f.n_leaf = 0;
 
     const uint8_t *splits[7] = {0, 0, split2, split3, split4, split5, split6};
@@ -4585,10 +5350,10 @@ XT_API int xt_encode_intra_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_lg);
+    free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
-    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg); free(f.leaf_lgh);
     return rc;
 }
 
@@ -4621,6 +5386,7 @@ XT_API int xt_encode_main_intra_frame(
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
     f.map_lg = calloc(n_scu, 1);
+    f.map_lgh = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -4628,6 +5394,7 @@ XT_API int xt_encode_main_intra_frame(
     f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+    f.leaf_lgh = malloc(sizeof(int16_t) * max_leaf);
     f.n_leaf = 0;
 
     const uint8_t *splits[7] = {0, 0, split2, split3, split4, split5, split6};
@@ -4655,10 +5422,10 @@ XT_API int xt_encode_main_intra_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_lg);
+    free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_tidx); free(f.map_qp);
-    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg); free(f.leaf_lgh);
     return rc;
 }
 
@@ -4702,6 +5469,7 @@ XT_API int xt_encode_frame(
     int n_scu = f.w_scu * f.h_scu;
     f.map_cod = calloc(n_scu, 1);
     f.map_lg = calloc(n_scu, 1);
+    f.map_lgh = calloc(n_scu, 1);
     f.map_if = calloc(n_scu, 1);
     f.map_cbf = calloc(n_scu, 1);
     f.map_ipm = calloc(n_scu, 1);
@@ -4710,6 +5478,7 @@ XT_API int xt_encode_frame(
     f.leaf_x = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_y = malloc(sizeof(int32_t) * max_leaf);
     f.leaf_lg = malloc(sizeof(int16_t) * max_leaf);
+    f.leaf_lgh = malloc(sizeof(int16_t) * max_leaf);
     f.n_leaf = 0;
     f.slice_type = slice_type;
     f.poc = poc;
@@ -4753,10 +5522,10 @@ XT_API int xt_encode_frame(
         else xt_deblock(&f);
     }
 
-    free(f.map_cod); free(f.map_lg);
+    free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
     free(f.map_skip); free(f.map_tidx); free(f.map_qp);
-    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg);
+    free(f.leaf_x); free(f.leaf_y); free(f.leaf_lg); free(f.leaf_lgh);
     free(f.scratch);
     return rc;
 }
