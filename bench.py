@@ -82,11 +82,13 @@ def run_config(name, w, h, keyint, bframes, analysis, frames, qp=32,
         cls = GopEncoder if bframes >= 15 else Encoder
         return cls(p, analysis=analysis, coder="native")
 
-    # warmup (compile / persistent-cache load) on a short prefix
-    n_warm = 18 if bframes >= 15 else 6
+    # warmup = concurrent compile/persistent-cache load of every analysis
+    # signature (Encoder.prewarm); the timed pass runs right after, so a
+    # signature the prewarm missed honestly costs fps there
     t0 = time.time()
     enc = make()
-    for _ in enc.encode_stream(iter(frames[:n_warm])):
+    enc.prewarm()
+    for _ in enc.encode_stream(iter(frames[:2])):
         pass
     warm_s = time.time() - t0
 

@@ -303,6 +303,95 @@ class Encoder:
                 search_range=p.search_range, min_log2=p.min_cu_log2)
         return self._dev
 
+    def prewarm(self) -> float:
+        """Compile (or load from the persistent cache) every analysis
+        executable this configuration will use, before the first real
+        frame.  Signatures warm CONCURRENTLY: Python tracing holds the
+        GIL but XLA compilation / persistent-cache deserialization
+        release it, so overlapping the 2-5 signatures cuts cold start
+        several-fold.  Dummy frames are evicted afterwards.  Returns
+        seconds spent; no-op for the numpy engine."""
+        import time as _t
+        t0 = _t.time()
+        p = self.p
+        eng = self.analysis_engine
+        if eng not in ("device", "jax"):
+            return 0.0
+        qp = p.qp
+        qp_y, qp_u, qp_v = self._qp_triplet(qp)
+        bd = p.codec_bit_depth
+        z = np.zeros((p.h_aligned, p.w_aligned), np.int16)
+        zc = np.zeros((p.h_aligned // 2, p.w_aligned // 2), np.int16)
+        jobs = []
+        dev = None
+        base = -(1 << 20)
+        if eng == "device" and not p.tool_eipd:
+            dev = self._device()
+            for i in range(3):
+                dev.put_frame(base + i, z, zc, zc)
+            sigs = [dict()]
+            if p.keyint != 1:
+                sigs.append(dict(ref_poc=base))
+                if p.ref_pics > 1:
+                    sigs.append(dict(ref_poc=base, ref0b_poc=base + 1))
+            if p.bframes >= 15:
+                sigs.append(dict(ref_poc=base, ref1_poc=base + 1))
+                if p.ref_pics > 1:
+                    sigs.append(dict(ref_poc=base, ref1_poc=base + 1,
+                                     ref0b_poc=base + 2,
+                                     ref1b_poc=base + 2))
+
+            def warm_dev(sig):
+                hd = dev.dispatch(base + 2, qp, qp_y, qp_u, qp_v, **sig)
+                np.asarray(hd.vec)      # force completion (axon fetch)
+
+            jobs = [(warm_dev, (s,)) for s in sigs]
+        else:
+            def warm_intra():
+                if p.tool_eipd:
+                    from .enc.analysis_main_jax import analyze_frame_main_jax
+                    analyze_frame_main_jax(z, zc, zc, qp, qp_y, qp_u, qp_v,
+                                           bd, min_log2=p.min_cu_log2)
+                else:
+                    from .enc.analysis_jax import analyze_frame_jax
+                    analyze_frame_jax(z, zc, zc, qp, qp_y, qp_u, qp_v, bd,
+                                      min_log2=p.min_cu_log2)
+
+            def warm_inter(with_b):
+                from .enc.analysis_inter_jax import analyze_frame_inter_jax
+                from .ops import mc_np
+                ref = {
+                    "y_pad": mc_np.pad_picture(
+                        np.zeros((p.h_aligned, p.w_aligned), np.int32),
+                        PAD_L),
+                    "u_pad": mc_np.pad_picture(
+                        np.zeros((p.h_aligned // 2, p.w_aligned // 2),
+                                 np.int32), PAD_L // 2),
+                    "v_pad": mc_np.pad_picture(
+                        np.zeros((p.h_aligned // 2, p.w_aligned // 2),
+                                 np.int32), PAD_L // 2),
+                    "poc": base,
+                }
+                analyze_frame_inter_jax(
+                    np.asarray(z, np.int16), np.asarray(zc, np.int16),
+                    np.asarray(zc, np.int16), [ref], qp, qp_y, qp_u, qp_v,
+                    bd, search_range=p.search_range,
+                    refp1=[dict(ref)] if with_b else None,
+                    min_log2=p.min_cu_log2)
+
+            jobs = [(warm_intra, ())]
+            if p.keyint != 1:
+                jobs.append((warm_inter, (p.bframes >= 15,)))
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=min(5, len(jobs))) as ex:
+            for fu in [ex.submit(fn, *a) for fn, a in jobs]:
+                fu.result()
+        if dev is not None:
+            for i in range(3):
+                dev.ring.pop(base + i, None)
+                dev.host_ring.pop(base + i, None)
+        return _t.time() - t0
+
     def _qp_triplet(self, qp: int):
         """(qp_y, qp_u, qp_v) at codec bit depth (xeve_enc.c:1463 set_sh);
         Main+IQT uses the main chroma QP table (xevem_tbl.c)."""
@@ -1178,11 +1267,43 @@ class GopEncoder(Encoder):
                     "tile_lens": tile_lens, "y": y,
                     "l0p": l0p, "l1p": l1p}
 
-        for (poc, disp, tid, is_ref, hd, _r0, _r1, qp) in handles:
-            futures[poc] = self._code_pool.submit(task, poc, disp, tid,
-                                                  is_ref, hd, qp)
+        # dependency-gated submission: a task is handed to the pool only
+        # once every ref it needs is reconstructed, so workers NEVER block
+        # inside resolve() — a blocked worker would hold a slot and
+        # serialize the whole sub-GOP behind the anchor chain (measured:
+        # wall time == sum of C passes without this)
+        import threading
+        import time as _time
+        sched_lock = threading.RLock()   # done-callbacks can re-enter
+        submitted = set()
+
+        def _deps(poc):
+            l0p, l1p = frozen_lists[poc]
+            return [q for q in list(l0p) + list(l1p)
+                    if q not in dpb_by_poc]
+
+        def _try_submit():
+            with sched_lock:
+                for (poc, disp, tid, is_ref, hd, _r0, _r1, qp) in handles:
+                    if poc in submitted:
+                        continue
+                    if all(q in futures and futures[q].done()
+                           for q in _deps(poc)):
+                        fu = self._code_pool.submit(task, poc, disp, tid,
+                                                    is_ref, hd, qp)
+                        futures[poc] = fu
+                        submitted.add(poc)
+                        fu.add_done_callback(lambda _f: _try_submit())
+
+        _try_submit()
         for (poc, disp, tid, is_ref, _hd, _r0, _r1, qp) in handles:
-            r = futures[poc].result()
+            while True:
+                with sched_lock:
+                    fu = futures.get(poc)
+                if fu is not None:
+                    break
+                _time.sleep(0.0005)
+            r = fu.result()
             sh = SliceHeader(slice_type=SLICE_B, qp=qp,
                              qp_u_offset=p.qp_cb_offset,
                              qp_v_offset=p.qp_cr_offset,

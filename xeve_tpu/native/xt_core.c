@@ -1037,6 +1037,41 @@ static int64_t xt_est_end(XtFrame *f, const XtEstSave *sv)
 
 #define XT_BITS(b) ((double)(b) * (1.0 / 32768.0))
 
+/* XT_PROF=1: accumulate per-phase CPU time of the P/B CU coder and
+ * print a breakdown at frame end (stderr).  Debug-only. */
+#include <time.h>
+#include <stdio.h>
+static int xt_prof_on(void)
+{
+    static int on = -1;
+    if (on < 0) { const char *e = getenv("XT_PROF"); on = e ? atoi(e) : 0; }
+    return on;
+}
+static __thread double xt_prof_acc[10];
+static const char *xt_prof_name[10] = {
+    "skip_loop", "direct", "var_loop", "refine", "tq_inter", "intra_cand",
+    "trials", "emit", "deblock", "intra_cu" };
+static inline double xt_now(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+#define XT_P0(idx) double _pt##idx = xt_prof_on() ? xt_now() : 0.0
+#define XT_P1(idx) do { if (xt_prof_on()) \
+    xt_prof_acc[idx] += xt_now() - _pt##idx; } while (0)
+static void xt_prof_dump(void)
+{
+    if (!xt_prof_on()) return;
+    fprintf(stderr, "XT_PROF:");
+    for (int i = 0; i < 10; i++) {
+        fprintf(stderr, " %s=%.0fms", xt_prof_name[i],
+                xt_prof_acc[i] * 1000.0);
+        xt_prof_acc[i] = 0;
+    }
+    fprintf(stderr, "\n");
+}
+
 /* debug isolation mask for the exact-RD features (XT_RD_MASK env var):
  * bit0 intra mode re-decision, bit1 exact pb candidate choice,
  * bit2 closed-loop MV refinement.  Production default: all on. */
@@ -1112,6 +1147,9 @@ static void xt_write_coef_block(XtSbac *s, XtCtx *c, const int32_t *lev,
     }
 }
 
+static int64_t xt_satd(const XtFrame *f, int x, int y, int nw, int nh,
+                       const int32_t *pred);
+
 static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
 {
     const XtFrameCfg *cfg = f->cfg;
@@ -1131,7 +1169,13 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
     /* --- closed-loop luma mode re-decision with exact SBAC rate over
      * all 5 Baseline modes (xeve_pintra.c analyze + xeve_mode.c:304
      * is_bitcount rate; the device's open-loop argmax is advisory) --- */
+    int nnz_y = 0;
+    int luma_done = 0;
     if (cfg->exact_rd && (xt_rd_mask() & 1)) {
+        /* two-stage (xeve_pintra.c structure): SATD pre-rank of the 5
+         * modes against the true recon neighbours, then exact-rate RDO
+         * on the top 2; the winner's T/Q results are written directly
+         * (no recompute) */
         int ipm_l = 0, ipm_u = 0;
         if (x_scu > 0 && f->map_if[y_scu * f->w_scu + x_scu - 1] &&
             f->map_cod[y_scu * f->w_scu + x_scu - 1])
@@ -1140,11 +1184,33 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
             f->map_cod[(y_scu - 1) * f->w_scu + x_scu])
             ipm_u = f->map_ipm[(y_scu - 1) * f->w_scu + x_scu] + 1;
         int mx = (1 << bd) - 1;
-        double best_cost = 0;
-        int best_m = ipm;
+        double srt = sqrt(f->lam_px);
+        double s_best0 = 1e300, s_best1 = 1e300;
+        int s_m0 = 0, s_m1 = 1;
         XtEstSave sv;
         for (int m = 0; m < 5; m++) {
-            int32_t lev_t[64 * 64], dq[64 * 64], rr[64 * 64];
+            xt_ipred(m, up, left, ul, pred_y, n);
+            int64_t satd = xt_satd(f, x, y, n, n, pred_y);
+            int rank = XT_MPM[(ipm_l * 6 + ipm_u) * 5 + m];
+            double c = (double)satd
+                       + srt * (double)(rank == 0 ? 1 : rank + 1);
+            if (c < s_best0) {
+                s_best1 = s_best0; s_m1 = s_m0;
+                s_best0 = c; s_m0 = m;
+            } else if (c < s_best1) {
+                s_best1 = c; s_m1 = m;
+            }
+        }
+        int cands[2] = { s_m0, s_m1 };
+        double best_cost = 0;
+        int best_m = s_m0;
+        static __thread int32_t lev_b[64 * 64], rec_b[64 * 64];
+        int nnz_b = 0;
+        for (int ci = 0; ci < 2; ci++) {
+            int m = cands[ci];
+            if (ci == 1 && m == cands[0]) break;
+            int32_t lev_t[64 * 64], dq[64 * 64], rr[64 * 64],
+                rec_t[64 * 64];
             xt_ipred(m, up, left, ul, pred_y, n);
             for (int i = 0; i < n; i++)
                 for (int j = 0; j < n; j++)
@@ -1167,6 +1233,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
                     int32_t v = pred_y[i * n + j];
                     if (nnz) v = (int16_t)(rr[i * n + j] + v);
                     if (v < 0) v = 0; if (v > mx) v = mx;
+                    rec_t[i * n + j] = v;
                     int64_t d = (int64_t)f->oy[(y + i) * W + x + j] - v;
                     ssd += d * d;
                 }
@@ -1177,21 +1244,30 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
             if (nnz) xt_write_coef_block(f->sbac, f->ctx, lev_t, lg, 0);
             int64_t bits = xt_est_end(f, &sv);
             double cost = (double)ssd + f->lam_px * XT_BITS(bits);
-            if (m == 0 || cost < best_cost) {
+            if (ci == 0 || cost < best_cost) {
                 best_cost = cost;
                 best_m = m;
+                nnz_b = nnz;
+                memcpy(lev_b, lev_t, sizeof(int32_t) * n * n);
+                memcpy(rec_b, rec_t, sizeof(int32_t) * n * n);
             }
         }
         ipm = best_m;
+        nnz_y = nnz_b;
+        memcpy(lev_y, lev_b, sizeof(int32_t) * n * n);
+        for (int i = 0; i < n; i++)
+            for (int j = 0; j < n; j++)
+                f->ry[(y + i) * W + x + j] = (uint16_t)rec_b[i * n + j];
+        luma_done = 1;
     }
 
-    /* --- luma --- */
+    /* --- luma (legacy path: code the device-decided mode) --- */
+    if (!luma_done) {
     xt_ipred(ipm, up, left, ul, pred_y, n);
     for (int i = 0; i < n; i++)
         for (int j = 0; j < n; j++)
             resi[i * n + j] = (int32_t)f->oy[(y + i) * W + x + j] - pred_y[i * n + j];
     xt_fwd_dct2(resi, coef, lg, bd);
-    int nnz_y;
     if (cfg->use_rdoq)
         nnz_y = xt_rdoq(coef, lev_y, lg, f->qp_y, f->lam, 0, bd, &f->est, 1, 0);
     else
@@ -1217,6 +1293,7 @@ static void xt_code_cu(XtFrame *f, int x, int y, int lg, int dqp_code)
                     f->ry[(y + i) * W + x + j] = (uint16_t)v;
                 }
         }
+    }
     }
 
     /* --- chroma --- */
@@ -1623,46 +1700,69 @@ static void xt_mc_luma(const uint16_t *ref, int rstride, int pad,
     }
     const int16_t *ch = XT_MC_L_CO[dx >> 2];
     const int16_t *cv = XT_MC_L_CO[dy >> 2];
+    /* row-vector forms: fixed tap in the inner loop so the compiler can
+     * auto-vectorize the j-dimension (the scalar 8-tap dot product kept
+     * the whole path on the scalar unit).  Taps 0 and 7 of every
+     * XT_MC_L_CO phase row are zero, so k runs 1..6. */
+    int32_t acc_row[64 + 7];
     if (dy == 0) {
-        for (int i = 0; i < h; i++)
+        for (int i = 0; i < h; i++) {
+            const uint16_t *r = ref + (iy + i) * rstride + ix - 3;
+            for (int j = 0; j < w; j++) acc_row[j] = ch[1] * r[j + 1];
+            for (int k = 2; k < 7; k++) {
+                int32_t c = ch[k];
+                for (int j = 0; j < w; j++) acc_row[j] += c * r[j + k];
+            }
             for (int j = 0; j < w; j++) {
-                int32_t acc = 0;
-                const uint16_t *r = ref + (iy + i) * rstride + ix - 3 + j;
-                for (int k = 0; k < 8; k++) acc += ch[k] * r[k];
-                int32_t v = acc >> 6;
+                int32_t v = acc_row[j] >> 6;
                 out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
             }
+        }
         return;
     }
     if (dx == 0) {
-        for (int i = 0; i < h; i++)
+        for (int i = 0; i < h; i++) {
+            const uint16_t *r0 = ref + (iy - 3 + i) * rstride + ix;
+            for (int j = 0; j < w; j++) acc_row[j] = cv[1] * r0[rstride + j];
+            for (int k = 2; k < 7; k++) {
+                int32_t c = cv[k];
+                const uint16_t *r = r0 + k * rstride;
+                for (int j = 0; j < w; j++) acc_row[j] += c * r[j];
+            }
             for (int j = 0; j < w; j++) {
-                int32_t acc = 0;
-                const uint16_t *r = ref + (iy - 3 + i) * rstride + ix + j;
-                for (int k = 0; k < 8; k++) acc += cv[k] * r[k * rstride];
-                int32_t v = acc >> 6;
+                int32_t v = acc_row[j] >> 6;
                 out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
             }
+        }
         return;
     }
     int shift1 = (bd - 8) < 4 ? (bd - 8) : 4;
     int shift2 = (20 - bd) > 8 ? (20 - bd) : 8;
     int off2 = 1 << (shift2 - 1);
     int16_t tmp[(64 + 7) * 64];
-    for (int i = 0; i < h + 7; i++)
-        for (int j = 0; j < w; j++) {
-            int32_t acc = 0;
-            const uint16_t *r = ref + (iy - 3 + i) * rstride + ix - 3 + j;
-            for (int k = 0; k < 8; k++) acc += ch[k] * r[k];
-            tmp[i * w + j] = (int16_t)(acc >> shift1);
+    for (int i = 0; i < h + 7; i++) {
+        const uint16_t *r = ref + (iy - 3 + i) * rstride + ix - 3;
+        for (int j = 0; j < w; j++) acc_row[j] = ch[1] * r[j + 1];
+        for (int k = 2; k < 7; k++) {
+            int32_t c = ch[k];
+            for (int j = 0; j < w; j++) acc_row[j] += c * r[j + k];
         }
-    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            tmp[i * w + j] = (int16_t)(acc_row[j] >> shift1);
+    }
+    for (int i = 0; i < h; i++) {
+        const int16_t *t0 = tmp + i * w;
+        for (int j = 0; j < w; j++) acc_row[j] = cv[1] * t0[w + j];
+        for (int k = 2; k < 7; k++) {
+            int32_t c = cv[k];
+            const int16_t *t = t0 + k * w;
+            for (int j = 0; j < w; j++) acc_row[j] += c * t[j];
+        }
         for (int j = 0; j < w; j++) {
-            int32_t acc = 0;
-            for (int k = 0; k < 8; k++) acc += cv[k] * tmp[(i + k) * w + j];
-            int32_t v = (acc + off2) >> shift2;
+            int32_t v = (acc_row[j] + off2) >> shift2;
             out[i * w + j] = v < 0 ? 0 : (v > mx ? mx : v);
         }
+    }
 }
 
 /* chroma MC, gmv in 1/32 chroma-pel units (ops/mc_np.py mc_chroma) */
@@ -2527,6 +2627,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     xt_get_mvp(f, x_scu, y_scu, scuw, 0, mvp);
     if (is_b) xt_get_mvp(f, x_scu, y_scu, scuw, 1, mvp1);
 
+    XT_P0(0);
     /* --- candidate 1: skip over MVP candidates (no residual) --- */
     double skip_cost = 0, skip_ssd = 0;
     int have_skip = 0, skip_idx = 0;
@@ -2583,6 +2684,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         }
     }
 
+    XT_P1(0);
+    XT_P0(1);
     /* --- candidate 1b (B): temporal direct, with residual --- */
     double direct_cost = 0, dssd_direct = 0;
     int have_direct = 0;
@@ -2616,6 +2719,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
      * multi-ref (per-ref ME planes, xeve_pinter.c:1839 refi loop) and the
      * bi-refined plane (analyze_bi analog, xeve_pinter.c:1567) append
      * extra variants. --- */
+    XT_P1(1);
+    XT_P0(2);
     XtInterVar vars[6];
     int n_var = 0;
     int refi_b0 = f->n_ref0 > 1 ? 1 : 0;
@@ -2722,6 +2827,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
             memcpy(wk->ib_pv, wk->c1_pv, sizeof(int32_t) * sc * sc);
         }
     }
+    XT_P1(2);
+    XT_P0(3);
     XtInterVar chosen = vars[best_var];
 
     /* --- closed-loop MV refinement (xeve_pinter.c:906 refinement step
@@ -2769,12 +2876,14 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         }
     }
 
+    XT_P1(3);
     const XtInterVar *sel = &chosen;
     int pred_dir = sel->dir;   /* 0=L0, 1=L1, 2=bi */
     int idx0 = sel->idx0, idx1 = sel->idx1;
     const int *mv_me0 = sel->mv0, *mv_me1 = sel->mv1;
     int var_extra_sel = sel->extra;
     int in_y, in_u, in_v;
+    XT_P0(4);
     double ssd_i = xt_tq_channels(f, x, y, lg,
                                   wk->ib_py, wk->ib_pu, wk->ib_pv,
                                   wk->in_ly, wk->in_lu, wk->in_lv,
@@ -2785,9 +2894,29 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         + xt_coef_bins(wk->in_lu, sc * sc, in_u)
         + xt_coef_bins(wk->in_lv, sc * sc, in_v);
     double cost_inter = ssd_i + lam * (double)bins_inter;
+    XT_P1(4);
+    XT_P0(5);
 
-    /* --- candidate 3: intra (EIPD when main) --- */
+    /* --- candidate 3: intra (EIPD when main).  Reference gate
+     * (xeve_mode.c:1244 mode_check_intra): in inter slices intra is only
+     * worth evaluating when the inter/direct winners actually needed
+     * coefficients — a zero-residual prediction cannot lose to intra.
+     * This skips the densest RDOQ work on most CUs. --- */
+    int it_y = 0, it_u = 0, it_v = 0;
+    double ssd_c = 1e300;
+    int64_t bins_intra = 0;
+    int want_intra = !cfg->exact_rd || in_y || in_u || in_v ||
+                     (have_direct && (dn_y || dn_u || dn_v));
+    /* skip-dominated CUs: when skip's proxy cost already beats both
+     * residual candidates, intra never wins (the reference's
+     * mode_check_intra gate keys on the best mode having nnz==0,
+     * xeve_mode.c:1244) — measured BD-neutral and removes the densest
+     * RDOQ work from most CUs */
+    if (cfg->exact_rd && skip_cost <= cost_inter &&
+        (!have_direct || skip_cost <= direct_cost))
+        want_intra = 0;
     int32_t up[130], left[130], ul;
+    if (want_intra) {
     if (cfg->main_eipd) {
         xt_nbr_main(f->ry, W, f->map_cod, f->w_scu, f->h_scu,
                     x, y, s, s, x_scu, y_scu, 4, bd, up, left);
@@ -2809,17 +2938,18 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
                      xc, yc, sc, x_scu, y_scu, 2, bd, up, left, &ul);
         xt_ipred(ipm, up, left, ul, wk->ip_pv, sc);
     }
-    int it_y, it_u, it_v;
-    double ssd_c = xt_tq_channels(f, x, y, lg,
+    ssd_c = xt_tq_channels(f, x, y, lg,
                                   wk->ip_py, wk->ip_pu, wk->ip_pv,
                                   wk->it_ly, wk->it_lu, wk->it_lv,
                                   &it_y, &it_u, &it_v,
                                   wk->it_ry, wk->it_ru, wk->it_rv, 1);
-    int64_t bins_intra = 2 + 3 + 3
+    bins_intra = 2 + 3 + 3
         + xt_coef_bins(wk->it_ly, s * s, it_y)
         + xt_coef_bins(wk->it_lu, sc * sc, it_u)
         + xt_coef_bins(wk->it_lv, sc * sc, it_v);
+    }
     double cost_intra = ssd_c + lam * (double)bins_intra;
+    XT_P1(5);
 
     int ctx_skip, ctx_pred;
     xt_ctx_flags(f, x_scu, y_scu, scuw, scuh, &ctx_skip, &ctx_pred);
@@ -2841,15 +2971,27 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
     em.it_ly = wk->it_ly; em.it_lu = wk->it_lu; em.it_lv = wk->it_lv;
 
     /* --- choose --- */
+    XT_P0(6);
     int winner = 0;
     if (cfg->exact_rd && (xt_rd_mask() & 2)) {
-        /* exact SBAC rate per candidate (is_bitcount trial coding) */
+        /* exact SBAC rate per candidate (is_bitcount trial coding),
+         * cheapest-distortion first so the SSD lower bound prunes
+         * losslessly (rate >= 0: a candidate whose distortion alone
+         * exceeds the incumbent total can never win) */
+        double ssds[4] = { skip_ssd, ssd_i, ssd_c,
+                           have_direct ? dssd_direct : 1e300 };
+        int order[4] = { 0, 1, 2, 3 };
+        for (int a = 0; a < 3; a++)
+            for (int b = a + 1; b < 4; b++)
+                if (ssds[order[b]] < ssds[order[a]]) {
+                    int t = order[a]; order[a] = order[b]; order[b] = t;
+                }
         double best = 1e300;
-        for (int cand = 0; cand < 4; cand++) {
+        for (int oi = 0; oi < 4; oi++) {
+            int cand = order[oi];
             if (cand == 3 && !have_direct) continue;
-            double ssd = cand == 0 ? skip_ssd :
-                         cand == 1 ? ssd_i :
-                         cand == 2 ? ssd_c : dssd_direct;
+            double ssd = ssds[cand];
+            if (ssd >= best) break;     /* admissible prune */
             XtEstSave sv;
             xt_est_begin(f, &sv);
             xt_pb_emit(f, lg, cand, &em);
@@ -2868,6 +3010,8 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         }
     }
 
+    XT_P1(6);
+    XT_P0(7);
     xt_pb_emit(f, lg, winner, &em);
 
     if (winner == 0) {
@@ -2888,6 +3032,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         /* HTDF on intra CUs in P/B slices (decoder parity: intra-only) */
         if (cfg->tool_htdf) xt_htdf_cu(f, x, y, s, s, 1);
     }
+    XT_P1(7);
 }
 
 /* ------------------------------------------------------------------ */
@@ -5346,9 +5491,12 @@ XT_API int xt_encode_intra_frame(
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
     if (rc == 0 && cfg->use_deblock) {
+        XT_P0(8);
         if (cfg->tool_addb) xt_addb_deblock(&f);
         else xt_deblock(&f);
+        XT_P1(8);
     }
+    xt_prof_dump();
 
     free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
@@ -5418,9 +5566,12 @@ XT_API int xt_encode_main_intra_frame(
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
     if (rc == 0 && cfg->use_deblock) {
+        XT_P0(8);
         if (cfg->tool_addb) xt_addb_deblock(&f);
         else xt_deblock(&f);
+        XT_P1(8);
     }
+    xt_prof_dump();
 
     free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
@@ -5518,9 +5669,12 @@ XT_API int xt_encode_frame(
 
     int rc = xt_code_tiles(&f, out_bs, out_cap, stats);
     if (rc == 0 && cfg->use_deblock) {
+        XT_P0(8);
         if (cfg->tool_addb) xt_addb_deblock(&f);
         else xt_deblock(&f);
+        XT_P1(8);
     }
+    xt_prof_dump();
 
     free(f.map_cod); free(f.map_lg); free(f.map_lgh);
     free(f.map_if); free(f.map_cbf); free(f.map_ipm);
