@@ -150,6 +150,8 @@ def main():
         "ld": (0, 0, 0, None, ()),
         "ra": (0, 0, 15, None, ()),
         "ld_ref2": (0, 0, 0, {"ref_pics": 2}, ("--ref", "2")),
+        "ld_ref4": (0, 0, 0, {"ref_pics": 4}, ("--ref", "4")),
+        "ra_ref4": (0, 0, 15, {"ref_pics": 4}, ("--ref", "4")),
         "ra_ref2": (0, 0, 15, {"ref_pics": 2}, ("--ref", "2")),
         "ra_aq": (0, 0, 15, {"aq_mode": 2}, ("--aq", "1")),
         "ai_main": (1, 1, 0, None, ()),

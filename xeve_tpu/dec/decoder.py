@@ -197,16 +197,57 @@ class BaselineIntraDecoder:
         # I, P and B (low-delay / random-access) slices supported
         assert br.is_byte_aligned()
         self.tid = tid
-        self._derive_poc(nut, tid)
+        if self.sps.tool_pocs and nut != NUT_IDR:
+            # explicit POC signalling (sh.poc_lsb) with MSB wrap derivation
+            # (spec 8.3.1 analog; xeve writes poc & (max_lsb-1))
+            max_lsb = 1 << (self.sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+            prev = getattr(self, "prev_poc_lsb_val", 0)
+            prev_lsb = prev & (max_lsb - 1)
+            prev_msb = prev - prev_lsb
+            lsb = sh.poc_lsb
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            self.poc = msb + lsb
+            if tid == 0:
+                self.prev_poc_lsb_val = self.poc
+        else:
+            self._derive_poc(nut, tid)
+            if self.sps.tool_pocs:
+                self.prev_poc_lsb_val = 0
         if nut == NUT_IDR:
             self.dpb.clear()
         if sh.slice_type == SLICE_I:
             self.last_intra_poc = self.poc
+        if self.sps.tool_rpl and sh.slice_type != SLICE_I and self.poc != 0:
+            # RPL reference marking (xevem_picman.c:632): DPB refs in
+            # neither of the slice's lists become unreferenced
+            keep = set()
+            for rpl in (sh.rpl_l0, sh.rpl_l1):
+                if rpl is not None:
+                    for d in rpl.ref_pics:
+                        keep.add(self.poc - d)
+            for pic in self.dpb:
+                if pic.get("ref", True) and pic["poc"] not in keep:
+                    pic["ref"] = False
         # reference lists (xeve_picman_refp_init, layer 0)
         self.refp = []
         self.refp1 = []
         max_refs = self.sps.max_num_ref_pics or 21
-        if sh.slice_type != SLICE_I:
+        if self.sps.tool_rpl and sh.slice_type != SLICE_I:
+            # explicit RPL-based construction (xevem_picman.c:578):
+            # refp[i] = DPB pic at poc - ref_pics[i], active-count entries
+            by_poc = {p["poc"]: p for p in self.dpb if p.get("ref", True)}
+            n0, n1 = sh.num_ref_idx_active
+            rp0 = sh.rpl_l0.ref_pics if sh.rpl_l0 is not None else []
+            rp1 = sh.rpl_l1.ref_pics if sh.rpl_l1 is not None else []
+            self.refp = [by_poc[self.poc - d] for d in rp0[:n0]]
+            if sh.slice_type != SLICE_P:
+                self.refp1 = [by_poc[self.poc - d] for d in rp1[:n1]]
+        elif sh.slice_type != SLICE_I:
             marked = [p for p in self.dpb if p.get("ref", True)]
             usable = [p for p in marked
                       if not (self.poc >= self.last_intra_poc and

@@ -517,6 +517,8 @@ class SliceHeader:
                             bw.write_ue(self.rpl_l0_idx)
                     else:
                         self.rpl_l0.write(bw)
+                    # flag[1]/idx[1] are inferred when not presented
+                    # (xevem_eco.c:608-617)
                     if len(sps.rpls_l1) > 0 and pps.rpl1_idx_present_flag:
                         bw.write1(self.ref_pic_list_sps_flag[1])
                     if self.ref_pic_list_sps_flag[1]:
@@ -588,12 +590,18 @@ class SliceHeader:
                         sh.rpl_l0 = sps.rpls_l0[sh.rpl_l0_idx]
                     else:
                         sh.rpl_l0 = RPL.parse(br)
-                    f1 = br.read1() if (len(sps.rpls_l1) > 0 and
-                                        pps.rpl1_idx_present_flag) else 0
+                    # flag[1]/idx[1] are inferred from list 0 when the PPS
+                    # does not present them (xevem_eco.c:608-617 inverse)
+                    if len(sps.rpls_l1) > 0 and pps.rpl1_idx_present_flag:
+                        f1 = br.read1()
+                    else:
+                        f1 = f0
                     if f1:
-                        sh.rpl_l1_idx = (br.read_ue()
-                                         if (len(sps.rpls_l1) > 1 and
-                                             pps.rpl1_idx_present_flag) else 0)
+                        if (len(sps.rpls_l1) > 1 and
+                                pps.rpl1_idx_present_flag):
+                            sh.rpl_l1_idx = br.read_ue()
+                        else:
+                            sh.rpl_l1_idx = sh.rpl_l0_idx
                         sh.rpl_l1 = sps.rpls_l1[sh.rpl_l1_idx]
                     else:
                         sh.rpl_l1 = RPL.parse(br)

@@ -2721,7 +2721,7 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
      * extra variants. --- */
     XT_P1(1);
     XT_P0(2);
-    XtInterVar vars[6];
+    XtInterVar vars[12];
     int n_var = 0;
     int refi_b0 = f->n_ref0 > 1 ? 1 : 0;
     int refi_b1 = f->n_ref1 > 1 ? 1 : 0;
@@ -2786,6 +2786,40 @@ static void xt_code_cu_pb(XtFrame *f, int x, int y, int lg, int dqp_code)
         v->idx0 = 0;
         v->extra = v->idx1 + bb + 2 + refi_b1;
     }
+    /* refi >= 2 (up to 4 active refs, xeve_pinter.c:1839 refi loop):
+     * no analyzer ME plane — seed with the refi-0 MV scaled by POC
+     * distance; the closed-loop diamond refinement adapts it */
+    if (cfg->exact_rd) {
+        int d0 = f->poc - f->refs0[0].poc;
+        for (int k = 2; k < f->n_ref0 && n_var < 12; k++) {
+            XtInterVar *v = &vars[n_var++];
+            int dk = f->poc - f->refs0[k].poc;
+            v->dir = 0; v->r0 = k; v->r1 = -1;
+            v->mv0[0] = d0 ? (int)(((int64_t)vars[0].mv0[0] * dk) / d0)
+                           : vars[0].mv0[0];
+            v->mv0[1] = d0 ? (int)(((int64_t)vars[0].mv0[1] * dk) / d0)
+                           : vars[0].mv0[1];
+            int bb; xt_best_mvp_idx(mvp, v->mv0, &v->idx0, &bb);
+            v->idx1 = 0;
+            v->extra = v->idx0 + bb + 2 + refi_b0;
+        }
+        if (is_b && have_mv1 && f->n_ref1 > 2) {
+            int d1 = f->poc - f->refs1[0].poc;
+            for (int k = 2; k < f->n_ref1 && n_var < 12; k++) {
+                XtInterVar *v = &vars[n_var++];
+                int dk = f->poc - f->refs1[k].poc;
+                v->dir = 1; v->r0 = -1; v->r1 = k;
+                v->mv1[0] = d1 ? (int)(((int64_t)vars[1].mv1[0] * dk) / d1)
+                               : vars[1].mv1[0];
+                v->mv1[1] = d1 ? (int)(((int64_t)vars[1].mv1[1] * dk) / d1)
+                               : vars[1].mv1[1];
+                int bb; xt_best_mvp_idx(mvp1, v->mv1, &v->idx1, &bb);
+                v->idx0 = 0;
+                v->extra = v->idx1 + bb + 2 + refi_b1;
+            }
+        }
+    }
+
     int best_var = 0;
     double best_pred_ssd = 0;
     for (int v = 0; v < n_var; v++) {

@@ -121,7 +121,9 @@ class EncoderParams:
             self.min_cu_log2 = mincu
         if self.ref_pics < 0:
             self.ref_pics = nref
-        assert 1 <= self.ref_pics <= 2, "ref_pics supports 1 or 2 active refs"
+        assert 1 <= self.ref_pics <= 4, \
+            "ref_pics supports 1-4 active refs (analysis ME planes cover 2;\n" \
+            "            refs 3-4 seed from scaled refi-0 MVs + closed-loop refinement)"
         if self.tune == "zerolatency":
             # no reordering, no B frames (xeve tune zerolatency semantics)
             self.bframes = 0
