@@ -9,6 +9,7 @@ import numpy as np
 
 from .params import EncoderParams
 from .constants import (NUT_IDR, NUT_NONIDR, NUT_SPS, NUT_PPS, NUT_SEI,
+                        NUT_APS,
                         SLICE_I, PROFILE_BASELINE, chroma_qp_dynamic)
 from .hls import SPS, PPS, SliceHeader, NalHeader, wrap_nal
 from .io.bits import BitWriter
@@ -87,6 +88,45 @@ class Encoder:
             self.rc = RateControl(self.p.rc_type, self.p.w, self.p.h,
                                   self.p.fps, self.p.bitrate_kbps, self.p.crf,
                                   self.p.qp_min, self.p.qp_max)
+        if self.p.tool_dra:
+            self._wrap_dra_api()
+
+    def _ef_raw(self):
+        return getattr(self, "_encode_frame_raw", None) or self.encode_frame
+
+    def _pf_raw(self):
+        return getattr(self, "_push_frame_raw", None) or self.push_frame
+
+    def _fl_raw(self):
+        return getattr(self, "_flush_raw", None) or self.flush
+
+    def _wrap_dra_api(self):
+        """DRA output adaptation: every public entry returns/yields the
+        BACKWARD-mapped reconstruction (display domain) while the DPB and
+        the coding loop stay in the mapped domain."""
+        ef = self.encode_frame
+
+        def encode_frame(y, u, v, analysis_pre=None):
+            out, rec = ef(y, u, v, analysis_pre)
+            return out, self._dra_backward(rec)
+
+        self._encode_frame_raw = ef
+        self.encode_frame = encode_frame
+        es = self.encode_stream
+
+        def encode_stream(frames, ahead=3):
+            for bs, rec, poc in es(frames, ahead):
+                yield bs, self._dra_backward(rec), poc
+
+        self._encode_stream_raw = es
+        self.encode_stream = encode_stream
+        if hasattr(self, "push_frame"):
+            pf, fl = self.push_frame, self.flush
+            self._push_frame_raw, self._flush_raw = pf, fl
+            self.push_frame = lambda y, u, v: [
+                (b, self._dra_backward(r), q) for (b, r, q) in pf(y, u, v)]
+            self.flush = lambda: [
+                (b, self._dra_backward(r), q) for (b, r, q) in fl()]
 
     # ------------------------------------------------------------------
     def _make_sps(self) -> SPS:
@@ -116,6 +156,7 @@ class Encoder:
             tool_htdf=p.tool_htdf,
             tool_ats=p.tool_ats,
             tool_addb=p.tool_addb,
+            tool_dra=p.tool_dra,
             sps_btt_flag=1 if p.btt else 0,
             # fixed stage-1 geometry (matches the native split_check
             # constants): CTU 64, min cb 4, 1:4 and ternary disabled
@@ -134,6 +175,8 @@ class Encoder:
         if p.aq_mode:
             dqp_kw = dict(cu_qp_delta_enabled_flag=1,
                           cu_qp_delta_area=10 if p.profile == 1 else 6)
+        if p.tool_dra:
+            dqp_kw.update(pic_dra_enabled_flag=1, pic_dra_aps_id=0)
         n = p.tile_columns * p.tile_rows
         if n > 1:
             id_len_m1 = 0
@@ -163,6 +206,8 @@ class Encoder:
             sh.entry_point_offsets = [l - 1 for l in tile_lens[:n - 1]]
 
     def _headers(self) -> bytes:
+        if self.p.tool_dra:
+            self._dra_init()
         out = b""
         bw = BitWriter()
         NalHeader(NUT_SPS, 0).write(bw)
@@ -172,12 +217,54 @@ class Encoder:
         NalHeader(NUT_PPS, 0).write(bw)
         self.pps.write(bw, main=self.sps.profile_idc == 1)
         out += wrap_nal(bw.get_bytes())
+        if self.p.tool_dra:
+            # DRA APS (xevem_eco_aps_gen, xevem_eco.c:235)
+            bw = BitWriter()
+            NalHeader(NUT_APS, 0).write(bw)
+            bw.write(0, 5)                   # aps_id
+            bw.write(1, 3)                   # aps_type_id = DRA
+            self._dra_sig.write(bw, self.p.codec_bit_depth)
+            bw.write1(0)                     # aps_extension_flag
+            bw.byte_align()
+            out += wrap_nal(bw.get_bytes())
         return out
+
+    def _dra_init(self):
+        if getattr(self, "_dra_maps", None) is None:
+            from .ops.dra_np import derive_sig_params, build_dra_maps
+            p = self.p
+            self._dra_sig = derive_sig_params(
+                p.qp, p.qp_cb_offset, p.qp_cr_offset,
+                num_ranges=p.dra_number_ranges,
+                in_points=[int(t) for t in p.dra_range.split()],
+                scales=[float(t) for t in p.dra_scale.split()],
+                hist_norm=p.dra_hist_norm,
+                bit_depth=p.codec_bit_depth)
+            self._dra_maps = build_dra_maps(self._dra_sig,
+                                            p.codec_bit_depth)
+
+    def _dra_backward(self, rec):
+        """Backward-map an output recon tuple (the DPB copy stays in the
+        mapped domain, like CFG_GET_RECON, xevem.c:1036)."""
+        if not self.p.tool_dra:
+            return rec
+        from .ops.dra_np import apply_dra
+        y, u, v = rec
+        return apply_dra(y, u, v, self._dra_maps, backward=True)
 
     def _pad_input(self, y, u, v):
         """Edge-replicate to the 8-aligned coded size (SPS crop signals the
-        real dimensions)."""
+        real dimensions).  With DRA the forward map applies here — the
+        whole encoder then works in the mapped domain (fn_pic_flt,
+        xeve_enc.c:656)."""
         p = self.p
+        if p.tool_dra:
+            self._dra_init()
+            from .ops.dra_np import apply_dra
+            y, u, v = apply_dra(np.asarray(y, np.int32),
+                                np.asarray(u, np.int32),
+                                np.asarray(v, np.int32),
+                                self._dra_maps, backward=False)
         if p.w == p.w_aligned and p.h == p.h_aligned:
             return (np.asarray(y, np.int32), np.asarray(u, np.int32),
                     np.asarray(v, np.int32))
@@ -836,7 +923,7 @@ class Encoder:
 
             def code_next():
                 yuv, hd = pending.popleft()
-                bs, rec = self.encode_frame(
+                bs, rec = self._ef_raw()(
                     *yuv, analysis_pre=collect_main_jax(hd))
                 return bs, rec, self.poc - 1
 
@@ -855,7 +942,7 @@ class Encoder:
             return
         if self.analysis_engine != "device":
             for (y, u, v) in frames:
-                bs, rec = self.encode_frame(y, u, v)
+                bs, rec = self._ef_raw()(y, u, v)
                 yield bs, rec, self.poc - 1
             return
         from collections import deque
@@ -956,7 +1043,7 @@ class Encoder:
                 self._fill_stat(len(out), nut, SLICE_I, qp, self.poc - 1, 0,
                                 rec=(rec_y, rec_u, rec_v))
                 return out, (rec_y, rec_u, rec_v), self.poc - 1
-            bs, rec = self.encode_frame(*yuv, analysis_pre=dev.collect(hd))
+            bs, rec = self._ef_raw()(*yuv, analysis_pre=dev.collect(hd))
             if p.closed_loop_ld:
                 # swap the coded frame's ring entry for its reconstruction
                 # so the NEXT P frame's ME references decoded pixels (the
@@ -1028,7 +1115,7 @@ class GopEncoder(Encoder):
     def push_frame(self, y, u, v):
         p = self.p
         if p.bframes < 15 or p.keyint == 1:
-            bs, rec = self.encode_frame(y, u, v)
+            bs, rec = self._ef_raw()(y, u, v)
             return [(bs, rec, self.poc - 1)]
         self._gop_in.append(self._pad_input(y, u, v))
         out = []
@@ -1131,8 +1218,8 @@ class GopEncoder(Encoder):
             return
         if self.analysis_engine != "device":
             for fr in frames:
-                yield from self.push_frame(*fr)
-            yield from self.flush()
+                yield from self._pf_raw()(*fr)
+            yield from self._fl_raw()()
             return
         dev = self._device()
         for fr in frames:
@@ -1151,7 +1238,7 @@ class GopEncoder(Encoder):
                 continue
             if len(self._gop_in) == 17:
                 yield from self._encode_subgop_pipelined(dev)
-        yield from self.flush()
+        yield from self._fl_raw()()
 
     def _encode_subgop_pipelined(self, dev):
         base = self._gop_base
@@ -1372,7 +1459,7 @@ class GopEncoder(Encoder):
                 continue
             if len(self._gop_in) == 17:
                 yield from self._encode_subgop_meshed(dev, mesh)
-        yield from self.flush()
+        yield from self._fl_raw()()
 
     def _encode_subgop_meshed(self, dev, mesh):
         import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..constants import (
     MIN_CU_LOG2, MIN_CU_SIZE, MPM_TBL, SCAN, SLICE_I, SLICE_P,
-    NUT_IDR, NUT_NONIDR, NUT_SPS, NUT_PPS, NUT_SEI,
+    NUT_IDR, NUT_NONIDR, NUT_SPS, NUT_PPS, NUT_SEI, NUT_APS,
     IPD_CNT_B, chroma_qp_dynamic,
 )
 from ..hls import SPS, PPS, SliceHeader, split_nals
@@ -103,9 +103,25 @@ class BaselineIntraDecoder:
                                    hdr.nuh_temporal_id)
             elif hdr.nal_unit_type == NUT_SEI:
                 self._check_sei(payload)
+            elif hdr.nal_unit_type == NUT_APS:
+                self._parse_aps(payload)
             else:
                 pass
         return self.frames
+
+    def _parse_aps(self, payload: bytes):
+        """APS NAL (xevem_eco_aps_gen inverse, xevem_eco.c:235): type 0 =
+        ALF (not yet supported), type 1 = DRA descriptor."""
+        br = BitReader(payload)
+        aps_id = br.read(5)
+        aps_type = br.read(3)
+        if aps_type == 1:
+            from ..ops.dra_np import SigParamDRA
+            sig = SigParamDRA.parse(br, self.sps.bit_depth_luma_minus8 + 8)
+            if not hasattr(self, "dra_aps"):
+                self.dra_aps = {}
+            self.dra_aps[aps_id] = sig
+            self._dra_maps = None        # invalidate LUT cache
 
     def _check_sei(self, payload: bytes):
         """Verify picture-signature SEI (payload type 0x10): per-plane MD5
@@ -356,8 +372,19 @@ class BaselineIntraDecoder:
         if s.picture_cropping_flag:
             cw = self.w - 2 * (s.picture_crop_left_offset + s.picture_crop_right_offset)
             ch = self.h - 2 * (s.picture_crop_top_offset + s.picture_crop_bottom_offset)
+        out_y, out_u, out_v = self.rec_y, self.rec_u, self.rec_v
+        if self.sps.tool_dra and self.pps.pic_dra_enabled_flag:
+            # backward DRA on the OUTPUT picture only — the DPB stays in
+            # the mapped domain (CFG_GET_RECON path, xevem.c:1036)
+            from ..ops.dra_np import build_dra_maps, apply_dra
+            if getattr(self, "_dra_maps", None) is None:
+                self._dra_maps = build_dra_maps(
+                    self.dra_aps[self.pps.pic_dra_aps_id], self.bd,
+                    want_fwd=False)
+            out_y, out_u, out_v = apply_dra(out_y, out_u, out_v,
+                                            self._dra_maps, backward=True)
         self.frames.append(DecodedFrame(
-            self.rec_y.copy(), self.rec_u.copy(), self.rec_v.copy(),
+            out_y.copy(), out_u.copy(), out_v.copy(),
             poc=self.poc, slice_type=sh.slice_type, qp=sh.qp,
             crop_w=cw, crop_h=ch))
 

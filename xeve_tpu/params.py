@@ -59,6 +59,13 @@ class EncoderParams:
     tool_htdf: int = -1
     tool_ats: int = -1
     tool_addb: int = -1
+    tool_dra: int = 0            # DRA (APS-signalled dynamic range
+                                 # adjustment): forward map on input,
+                                 # backward map on outputs (xevem_dra.c)
+    dra_number_ranges: int = 8
+    dra_range: str = "64 128 192 256 384 512 640 768"
+    dra_scale: str = "1.0 1.2 1.4 1.3 1.2 1.1 1.0 0.9"
+    dra_hist_norm: float = 1.0
 
     def validate(self):
         assert self.w > 0 and self.h > 0
@@ -81,6 +88,8 @@ class EncoderParams:
             self.tool_ats = 1 if is_main else 0   # xevem.c:1111 default
         if self.tool_addb < 0:
             self.tool_addb = 1 if is_main else 0
+        if self.tool_dra:
+            assert is_main, "DRA requires the Main profile"
         if not is_main:
             assert not (self.tool_eipd or self.tool_cm_init or self.tool_adcc
                         or self.tool_iqt or self.tool_htdf
