@@ -52,6 +52,13 @@ class Encoder:
     def __init__(self, params: EncoderParams, analysis: str = "numpy",
                  coder: str = "native", me_engine: str | None = None):
         self.p = params.validate()
+        if self.p.btt < 0:
+            # auto: BTT on for Main AI with the native coder (stage-2
+            # rectangular leaves need the exact-RD trial machinery)
+            self.p.btt = 1 if (self.p.profile == 1 and self.p.keyint == 1
+                               and coder == "native" and self.p.exact_rd
+                               and self.p.tile_columns * self.p.tile_rows
+                               == 1 and not self.p.aq_mode) else 0
         self.pic_cnt = 0
         self.sps = self._make_sps()
         self.pps = self._make_pps()

@@ -35,8 +35,10 @@ class EncoderParams:
                                  # (reference me_ref_num, xeve_enc.c:2444)
     tile_columns: int = 1
     tile_rows: int = 1
-    btt: int = 0                 # BTT split-tree syntax (Main; stage 1:
-                                 # quad partitions emitted as binary splits)
+    btt: int = -1                # BTT split-tree syntax (Main).  -1 = auto:
+                                 # ON for Main AI with the native coder
+                                 # (stage-2 rectangular leaves, measured
+                                 # -5.6 BD vs off); explicit 0/1 override
     closed_loop_ld: int = 0      # LD analysis against reconstructions
                                  # (better P-chain BD; serializes the
                                  # analysis behind the coding pass)
@@ -101,11 +103,11 @@ class EncoderParams:
             assert self.profile == 1, "tiles require the Main profile PPS"
             assert self.tile_columns <= (self.w + 63) // 64
             assert self.tile_rows <= (self.h + 63) // 64
-        if self.btt:
+        if self.btt > 0:
             assert self.profile == 1, "BTT requires the Main profile"
             assert self.tile_columns * self.tile_rows == 1, \
-                "BTT stage 1 is single-tile"
-            assert not self.aq_mode, "BTT stage 1 has no dqp-group support"
+                "BTT encoding is single-tile"
+            assert not self.aq_mode, "BTT has no dqp-group support yet"
         return self
 
     # preset tables (speed<->quality ladder, mirroring the reference's
